@@ -1,0 +1,87 @@
+"""Versioned rule profile — the engine's single source of thresholds.
+
+The reference drives every branch from per-instrument mapping classes chosen by
+a factory (reference instruments.py:3578-3655) and repairs known-bad values
+from a config table (instruments.py:222-266).  Here the same role is played by
+ONE dataclass: a versioned, broadcastable profile of quality-rule thresholds,
+stop-word tables and scrub patterns.  ``rule_versions()`` is recorded in every
+lineage row (north_rule) so a resumed run can detect a profile change.
+
+All rules are Gopher/C4-style heuristics (Rae et al. 2021 "Scaling Language
+Models" appendix A; Raffel et al. 2020 C4 §2.2) — public knowledge.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+# --- language resources -----------------------------------------------------
+# Small, deterministic stop-word tables (top function words per language).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "a", "to", "in", "is", "that", "it", "for",
+           "on", "was", "with", "as", "at", "by", "be", "this", "are", "or"),
+    "fr": ("le", "la", "les", "de", "des", "du", "et", "un", "une", "est",
+           "que", "qui", "dans", "pour", "sur", "avec", "au", "pas", "ce", "il"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den",
+           "von", "mit", "auf", "für", "im", "nicht", "sich", "des", "dem",
+           "auch", "es"),
+    "es": ("el", "la", "los", "las", "de", "y", "que", "en", "un", "una",
+           "es", "por", "con", "para", "del", "se", "no", "su", "al", "lo"),
+}
+
+# PII scrub patterns: (rule_id, java/RE2-compatible regex, replacement).
+# Kept to the regex subset valid in BOTH Java regex (Spark) and RE2 (DuckDB
+# oracle): no lookbehind, no backreferences.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("pii_email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("pii_phone", r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    ("pii_ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("pii_ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+)
+
+# Placeholder toxicity lexicon (synthetic tokens used by fixtures; a real
+# deployment swaps in a published blocklist via the same profile mechanism).
+TOXICITY_WORDS: tuple[str, ...] = ("badword1", "badword2", "slur1", "slur2")
+
+
+@dataclass(frozen=True)
+class RuleProfile:
+    """Thresholds for the keep/drop heuristics (rule ids are stable API)."""
+
+    version: str = "2026.08.1"
+    min_words: int = 50                  # rule: too_short
+    max_words: int = 100_000             # rule: too_long
+    min_mean_word_len: float = 3.0       # rule: word_len_low   (Gopher)
+    max_mean_word_len: float = 10.0      # rule: word_len_high  (Gopher)
+    max_symbol_ratio: float = 0.10       # rule: symbol_ratio   (Gopher #/ellipsis)
+    min_stopword_frac: float = 0.01      # rule: stopword_frac  (C4 "bad" gate)
+    min_alpha_word_frac: float = 0.80    # rule: alpha_frac     (Gopher 80% alpha)
+    max_repeated_line_frac: float = 0.30 # rule: repeated_lines (Gopher dup lines)
+    max_perplexity: float = 25.0         # rule: perplexity     (CCNet-style LM gate;
+                                         # calibrated: clean/pii classes <=17,
+                                         # gibberish >=53 on the fixture corpus)
+    max_perplexity_zh: float = 600.0     # per-lang override: char-bigram ppl over
+                                         # a ~170-char alphabet sits far above the
+                                         # latin scale (P13 rule-profile dispatch)
+    min_lang_conf: float = 0.30          # rule: lang_conf      (CCNet fastText gate)
+    allowed_langs: tuple[str, ...] = ("en", "fr", "de", "es", "zh")
+    max_toxicity_hits: int = 0           # rule: toxicity
+    # MinHash dedup parameters (bands × rows_per_band permutations)
+    minhash_bands: int = 8
+    minhash_rows_per_band: int = 2
+    shingle_size: int = 3                # word 3-shingles
+    dedup_jaccard: float = 0.8
+
+    def rule_versions(self) -> dict[str, str]:
+        """Per-rule version map recorded in lineage rows (north_rule)."""
+        v = self.version
+        return {r: v for r in RULE_IDS}
+
+
+RULE_IDS: tuple[str, ...] = (
+    "empty_payload", "too_short", "too_long", "word_len_low", "word_len_high",
+    "symbol_ratio", "stopword_frac", "alpha_frac", "repeated_lines",
+    "perplexity", "lang_conf", "lang_blocked", "toxicity", "near_duplicate",
+)
+
+DEFAULT_PROFILE = RuleProfile()

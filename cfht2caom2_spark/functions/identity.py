@@ -1,0 +1,34 @@
+"""URL identity columns — pure string projections.
+
+Reference analogue: file-name identity parsing — ``remove_extensions``
+(cfht_name.py:433-444), ``sequence_number`` regex prefix (cfht_name.py:231-242),
+``get_obs_id`` suffix stripping (cfht_name.py:407-431).  All become built-in
+Column expressions so Catalyst folds/fuses them; no Python crossing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def host(url: Column) -> Column:
+    """Registered host of the url (the skew/salting key, SURVEY.md §4)."""
+    return F.parse_url(url, F.lit("HOST"))
+
+
+def path(url: Column) -> Column:
+    return F.parse_url(url, F.lit("PATH"))
+
+
+def doc_id_from_url(url: Column) -> Column:
+    """Stable content key: path with a trailing .html/.htm/.php stripped —
+    the ``remove_extensions`` analogue (cfht_name.py:433-444)."""
+    return F.regexp_replace(path(url), r"\.(html?|php|aspx?)$", "")
+
+
+def salted_key(url: Column, n_salts: int = 16) -> Column:
+    """host + deterministic salt bucket — used to repartition ahead of
+    per-host windows so one hot host cannot pin a single task (SURVEY.md §4
+    skew row; north_rule 'salted repartition for skewed hosts')."""
+    return F.concat_ws("#", host(url), F.pmod(F.xxhash64(url), F.lit(n_salts)).cast("string"))

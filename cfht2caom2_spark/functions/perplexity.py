@@ -1,0 +1,87 @@
+"""Character-bigram perplexity scoring (CCNet-style LM quality gate).
+
+Reference analogue: the data-visitor pass that opens payload bytes and derives
+a numeric score per record (espadons_energy_augmentation.py:139-153 reads the
+wavelength vector and reduces it to bounds) — a per-record numeric reduction
+over content, separate from the metadata rules.
+
+A KenLM 5-gram LM would slot in identically (same broadcast + iterator-UDF
+shape); the container has no kenlm, so the LM is a per-language add-one
+character-bigram model trained on the embedded seed corpora.  Perplexity is
+``2^H`` with H the average negative log2 probability of each character given
+its predecessor, under the model of ``lang`` (falling back to English for
+unknown languages so the score is always defined — total function, never an
+exception).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..corpora import CORPORA
+
+_RE_WS = re.compile(r"\s+")
+
+
+class BigramLM:
+    """Per-language add-one char-bigram LM.  Pure, picklable, broadcastable."""
+
+    def __init__(self, corpora: dict[str, str] | None = None):
+        corpora = corpora or CORPORA
+        self.models: dict[str, dict[str, float]] = {}
+        self.floors: dict[str, float] = {}
+        for lang, corpus in corpora.items():
+            text = " " + _RE_WS.sub(" ", corpus.lower()) + " "
+            bigrams = Counter(text[i : i + 2] for i in range(len(text) - 1))
+            unigrams = Counter(text)
+            vocab = len(unigrams) + 1
+            self.models[lang] = {
+                bg: math.log2((c + 1) / (unigrams[bg[0]] + vocab))
+                for bg, c in bigrams.items()
+            }
+            # unseen bigram: assume unseen context with count ~ median unigram
+            self.floors[lang] = math.log2(1 / (vocab * 4))
+
+    def perplexity_one(self, text: str | None, lang: str | None) -> float:
+        if not text:
+            return float("inf")
+        lang = lang if lang in self.models else "en"
+        model, floor = self.models[lang], self.floors[lang]
+        sample = " " + _RE_WS.sub(" ", text[:4000].lower()) + " "
+        n = len(sample) - 1
+        if n <= 0:
+            return float("inf")
+        h = -sum(model.get(sample[i : i + 2], floor) for i in range(n)) / n
+        return 2.0**h
+
+    def perplexity_series(self, texts: pd.Series, langs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [self.perplexity_one(t, l) for t, l in zip(texts, langs)],
+            index=texts.index, dtype="float64",
+        )
+
+
+def perplexity_udf(spark: SparkSession, model: BigramLM | None = None) -> Column:
+    bc = spark.sparkContext.broadcast(model or BigramLM())
+
+    @pandas_udf("double")
+    def _ppl(batches: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        m = bc.value
+        for texts, langs in batches:
+            yield m.perplexity_series(texts, langs)
+
+    return _ppl
+
+
+def with_perplexity(df, spark: SparkSession, text_col: str = "extracted_text",
+                    lang_col: str = "lang_pred", model: BigramLM | None = None):
+    udf = perplexity_udf(spark, model)
+    return df.withColumn("ppl", udf(F.col(text_col), F.col(lang_col)))

@@ -1,0 +1,134 @@
+"""Gopher/C4-style heuristic quality statistics as built-in Column exprs.
+
+Reference analogue: the ~40 keyword-chain getters with validity guards
+(reference instruments.py:385-653, e.g. elevation range-check 0-90 at :385-393,
+humidity guard at :439-444) — each output field is a guarded pure expression
+over the row.  Here each text statistic is one Catalyst expression over the
+token array; NO Python UDFs in this module (north_rule: vectorized only).
+WholeStageCodegen fuses the whole block into the scan stage.
+
+Every function takes/returns ``pyspark.sql.Column`` so the same definitions are
+used by the batch pipeline, the streaming mode, and the DuckDB-oracle queries
+(semantics are pinned by tests/test_quality.py and the driver's oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import STOPWORDS, TOXICITY_WORDS, RuleProfile
+from ..corpora import ZH_STOP_CHARS
+
+# Symbols counted for the Gopher symbol-to-char ratio (ASCII-only on purpose:
+# identical semantics in Java regex and RE2, and CJK text is not penalized).
+SYMBOL_CLASS = "[#@$%^&*+=~|]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens with empties removed (identical to the SQL oracle's
+    list_filter(regexp_split_to_array(trim(x),'\\s+'), t->t<>''))."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != F.lit(""))
+
+
+def zh_chars(text: Column) -> Column:
+    """Per-character tokens for space-free CJK text (rule-profile dispatch,
+    the P13 analogue: the token model is data-dependent, not subclassed)."""
+    return F.split(F.regexp_replace(text, r"\s+", ""), "")
+
+
+def n_words(toks: Column) -> Column:
+    return F.size(toks).cast("bigint")
+
+
+def mean_word_len(toks: Column) -> Column:
+    # greatest(.,1) guards ANSI div-by-zero (Spark 4 default); an empty token
+    # array then yields 0.0, which the too_short rule catches anyway.
+    total = F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t))
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def symbol_ratio(text: Column) -> Column:
+    n_sym = F.length(text) - F.length(F.regexp_replace(text, SYMBOL_CLASS, ""))
+    return n_sym.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
+
+
+def stopword_frac(toks: Column, lang: str = "en") -> Column:
+    sw = STOPWORDS.get(lang)
+    if sw is None and lang == "zh":
+        sw = ZH_STOP_CHARS
+    hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*sw)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def stopword_frac_by_lang(toks: Column, zh_toks: Column, lang: Column) -> Column:
+    """Per-row language dispatch over the broadcast stop-word tables."""
+    expr = stopword_frac(toks, "en")  # default profile
+    for lg in ("fr", "de", "es"):
+        expr = F.when(lang == lg, stopword_frac(toks, lg)).otherwise(expr)
+    return F.when(lang == "zh", stopword_frac(zh_toks, "zh")).otherwise(expr)
+
+
+def alpha_word_frac(toks: Column) -> Column:
+    hits = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-zÀ-ÿ一-鿿]")))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def lines(text: Column) -> Column:
+    return F.filter(F.split(text, "\n"), lambda l: F.trim(l) != F.lit(""))
+
+
+def repeated_line_frac(text: Column) -> Column:
+    ls = lines(text)
+    n = F.size(ls)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(ls)).cast("double") / n.cast("double")
+    )
+
+
+def toxicity_hits(toks: Column) -> Column:
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(*TOXICITY_WORDS))).cast("bigint")
+
+
+def with_quality_stats(df: DataFrame, text_col: str = "extracted_text",
+                       lang_col: str | None = None) -> DataFrame:
+    """Append the full heuristic-stat block in one narrow projection.
+
+    Emits: n_words, mean_word_len, symbol_ratio, stopword_frac,
+    alpha_word_frac, repeated_line_frac, toxicity_hits.
+    """
+    text = F.col(text_col)
+    is_zh = (F.col(lang_col) == "zh") if lang_col else F.lit(False)
+    toks = F.when(is_zh, zh_chars(text)).otherwise(tokens(text))
+    df = df.withColumn("_toks", toks)
+    t = F.col("_toks")
+    sw = (stopword_frac_by_lang(t, t, F.col(lang_col)) if lang_col
+          else stopword_frac(t, "en"))
+    return (
+        df.withColumns({
+            "n_words": n_words(t),
+            "mean_word_len": mean_word_len(t),
+            "symbol_ratio": symbol_ratio(text),
+            "stopword_frac": sw,
+            "alpha_word_frac": alpha_word_frac(t),
+            "repeated_line_frac": repeated_line_frac(text),
+            "toxicity_hits": toxicity_hits(t),
+        })
+        .drop("_toks")
+    )
+
+
+def heuristic_rules(profile: RuleProfile) -> dict[str, Column]:
+    """rule_id -> fired-predicate over the stat columns.  The decision stage
+    folds these into the rules array (the rejected.record analogue)."""
+    return {
+        "too_short": F.col("n_words") < profile.min_words,
+        "too_long": F.col("n_words") > profile.max_words,
+        "word_len_low": F.col("mean_word_len") < profile.min_mean_word_len,
+        "word_len_high": F.col("mean_word_len") > profile.max_mean_word_len,
+        "symbol_ratio": F.col("symbol_ratio") > profile.max_symbol_ratio,
+        "stopword_frac": F.col("stopword_frac") < profile.min_stopword_frac,
+        "alpha_frac": F.col("alpha_word_frac") < profile.min_alpha_word_frac,
+        "repeated_lines": F.col("repeated_line_frac") > profile.max_repeated_line_frac,
+        "toxicity": F.col("toxicity_hits") > profile.max_toxicity_hits,
+    }

@@ -1,0 +1,72 @@
+"""Keep/drop decision assembly — the rejected.record analogue.
+
+Reference analogue: per-file keep/drop bookkeeping with reason codes
+(``track_invalid_date`` -> ``rejected.record``, reference
+instruments.py:859-863; factory fallback NO_INSTRUMENT at :3649) and the
+"repair when safe, reject with reason otherwise" split (instruments.py:222-266
+vs :859-863).  Every fired rule is recorded; ``keep`` is simply "no drop-rule
+fired".  Rules never raise — a row with a null payload gets ``empty_payload``,
+not an exception.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import RuleProfile
+from ..functions.quality import heuristic_rules
+
+
+def model_rules(profile: RuleProfile) -> dict[str, Column]:
+    """Rules over the model-score columns (lang_pred/lang_conf/ppl)."""
+    ppl_threshold = F.when(F.col("lang_pred") == "zh",
+                           F.lit(profile.max_perplexity_zh)) \
+        .otherwise(F.lit(profile.max_perplexity))
+    # gated on a non-null payload so an empty row fires ONLY empty_payload
+    has_text = F.col("extracted_text").isNotNull()
+    return {
+        "perplexity": has_text & (F.col("ppl") > ppl_threshold),
+        "lang_conf": has_text & (F.col("lang_conf") < profile.min_lang_conf),
+        "lang_blocked": has_text & ~F.col("lang_pred").isin(*profile.allowed_langs),
+    }
+
+
+def assemble_rules(rule_map: dict[str, Column]) -> Column:
+    """Sorted array<string> of fired rule ids (null-safe: an unevaluable rule
+    — e.g. stat on a null payload — simply doesn't fire)."""
+    entries = [
+        F.when(cond.isNotNull() & cond, F.lit(rule_id)) for rule_id, cond in rule_map.items()
+    ]
+    return F.array_sort(F.filter(F.array(*entries), lambda x: x.isNotNull()))
+
+
+def with_decision(df: DataFrame, profile: RuleProfile,
+                  text_col: str = "extracted_text",
+                  lang_col: str | None = "lang_pred",
+                  include_model_rules: bool = True,
+                  near_dup_col: str | None = None) -> DataFrame:
+    """Append ``rules array<string>`` + ``keep boolean``.
+
+    Expects the quality-stat columns (functions.quality.with_quality_stats)
+    and, when include_model_rules, lang_pred/lang_conf/ppl.
+    ``near_dup_col``: optional boolean column marking MinHash losers.
+    """
+    rules = dict(heuristic_rules(profile))
+    # rule-profile dispatch (P13): word-length rules are meaningless for
+    # space-free CJK where tokens are single characters — gate them off.
+    if lang_col is not None:
+        not_zh = F.col(lang_col) != "zh"
+        for r in ("word_len_low", "word_len_high"):
+            rules[r] = rules[r] & not_zh
+    rules["empty_payload"] = F.col(text_col).isNull() | (F.length(text_col) == 0)
+    if include_model_rules:
+        rules.update(model_rules(profile))
+    if near_dup_col is not None:
+        rules["near_duplicate"] = F.col(near_dup_col)
+
+    # a null payload fires ONLY empty_payload: stats are null there, and
+    # assemble_rules treats null conditions as not-fired.
+    return df.withColumn("rules", assemble_rules(rules)).withColumn(
+        "keep", F.size("rules") == 0
+    )

@@ -1,0 +1,235 @@
+"""Deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Reference analogue: duplicate-destination elimination preferring the canonical
+form (reference cfht_name.py:370-380) and obsolete-artifact cleanup
+(cleanup_augmentation.py:77-147) — "of several representations of the same
+content, deterministically keep one".  The scale-path design follows the
+published MinHash/LSH banding construction (Broder 1997; Lee et al. 2022
+"Deduplicating Training Data Makes Language Models Better").
+
+Scale notes (the part that matters at 10^12 docs):
+  * signatures are computed JVM-side from md5-derived shingle hashes — one
+    narrow projection, no Python, no shuffle;
+  * the ONLY wide op is the band-bucket self-join; band keys are high-entropy
+    (md5-derived), so buckets are balanced by construction and AQE skew-join
+    covers residual hot buckets (e.g. boilerplate-identical pages);
+  * candidate pairs are Jaccard-verified before any row is dropped, so LSH
+    banding parameters trade recall, never precision;
+  * winner selection is "earliest wins" (min sort key), the reference's W2
+    first-wins semantics (cfht_name.py:370-380), made deterministic by a total
+    ordering (order_col, id_col).
+
+Dropping policy: a doc is removed if it is near-duplicate of ANY doc with a
+smaller sort key (pair-dominance, not transitive closure).  This is the
+standard one-pass policy for web-scale dedup — transitive closure needs
+iterative joins; ``connected_components_small`` provides it for modest inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.tokens import md5_fingerprint
+
+MERSENNE_31 = 2_147_483_647  # 2^31 - 1, the classic MinHash modulus
+
+
+# --- exact -------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str, order_cols: list[str]) -> DataFrame:
+    """Keep the first row (by order_cols) per normalized-text md5 — W2."""
+    w = Window.partitionBy(md5_fingerprint(F.col(text_col))).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --- shingles / minhash --------------------------------------------------------
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of whitespace-normalized lowercase text."""
+    toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[
+        F.element_at(toks, (i + j).cast("int")) for j in range(k)
+    ]))
+    # shorter-than-k docs: the whole text is the single shingle
+    return F.array_distinct(
+        F.when(n >= k, sh).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def shingle_hash(shingle: Column) -> Column:
+    """Engine-portable 60-bit hash: first 15 hex chars of md5, reduced mod
+    2^31-1.  (Identical expression exists in DuckDB — used by the oracle.)"""
+    h = F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("bigint")
+    return h % MERSENNE_31
+
+
+def _perm_params(num_perms: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per permutation; a odd, both < 2^31 so a*x + b
+    stays < 2^63 (no overflow divergence between engines)."""
+    return [((2 * i + 1) % MERSENNE_31, (i * 40_503 + 1_299_721) % MERSENNE_31)
+            for i in range(num_perms)]
+
+
+def minhash_signature(text: Column, num_perms: int, k: int = 3) -> Column:
+    """array<bigint> of num_perms minhashes, one narrow JVM expression."""
+    hashes = F.transform(word_shingles(text, k), shingle_hash)
+    sigs = [
+        F.array_min(F.transform(hashes, lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_31))
+        for a, b in _perm_params(num_perms)
+    ]
+    return F.array(*sigs)
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
+                        bands: int = 8, rows_per_band: int = 2,
+                        k: int = 3) -> DataFrame:
+    """Near-dup candidate pairs (id_a < id_b) via banded minhash buckets.
+
+    One explode (rows -> rows×bands) + one self-join on (band, band_key).
+    Band keys concatenate the band's minhashes; bucket join is the single
+    shuffle of the dedup stage.
+    """
+    num_perms = bands * rows_per_band
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.col(text_col), num_perms, k).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), lambda b:
+            F.struct(
+                b.alias("band"),
+                F.concat_ws("_", *[
+                    F.element_at(F.col("_sig"), (b * rows_per_band + r + 1).cast("int"))
+                    for r in range(rows_per_band)
+                ]).alias("key"),
+            ))).alias("bk"),
+    ).select("_id", "bk.band", "bk.key")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard(df_pairs: DataFrame, df: DataFrame, id_col: str, text_col: str,
+            k: int = 3) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (verification stage)."""
+    sh = df.select(F.col(id_col).alias("_jid"),
+                   word_shingles(F.col(text_col), k).alias("_sh"))
+    out = (
+        df_pairs
+        .join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double"))
+        .withColumn("_union", F.size(F.array_union("_sh_a", "_sh_b")).cast("double"))
+        .withColumn("jaccard", F.col("_inter") / F.greatest(F.col("_union"), F.lit(1.0)))
+        .drop("_sh_a", "_sh_b", "_inter", "_union")
+    )
+    return out
+
+
+def minhash_dedup_losers(df: DataFrame, id_col: str, text_col: str,
+                         order_col: str, bands: int = 8, rows_per_band: int = 2,
+                         k: int = 3, threshold: float = 0.8) -> DataFrame:
+    """ids to drop: near-dup (verified Jaccard >= threshold) of an earlier doc.
+
+    'Earlier' = smaller (order_col, id_col); the winner of every verified pair
+    survives.  Returns a one-column DataFrame ``loser_id``.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(order_col).alias("_ord"),
+        F.col(text_col).alias("_txt"),
+    )
+    pairs = lsh_candidate_pairs(keyed, "_id", "_txt", bands, rows_per_band, k)
+    verified = jaccard(pairs, keyed, "_id", "_txt", k).filter(
+        F.col("jaccard") >= threshold
+    )
+    ordv = keyed.select("_id", "_ord")
+    v = (
+        verified
+        .join(ordv.withColumnRenamed("_id", "id_a").withColumnRenamed("_ord", "ord_a"), "id_a")
+        .join(ordv.withColumnRenamed("_id", "id_b").withColumnRenamed("_ord", "ord_b"), "id_b")
+    )
+    losers = v.select(
+        F.when((F.col("ord_a") < F.col("ord_b"))
+               | ((F.col("ord_a") == F.col("ord_b")) & (F.col("id_a") < F.col("id_b"))),
+               F.col("id_b")).otherwise(F.col("id_a")).alias("loser_id")
+    ).distinct()
+    return losers
+
+
+# --- simhash -------------------------------------------------------------------
+
+def simhash(text: Column, bits: int = 16) -> Column:
+    """Per-row SimHash over distinct word hashes — pure array expressions,
+    no shuffle (Charikar 2002).  Bit j of the output is 1 iff the sum over
+    words of ±1 (word-hash bit j) is positive."""
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != F.lit(""))
+    )
+    hashes = F.transform(toks, shingle_hash)
+    zeros = F.array_repeat(F.lit(0).cast("bigint"), bits)
+    counts = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(F.sequence(F.lit(0), F.lit(bits - 1)),
+                        lambda j: F.when(F.shiftright(h, j.cast("int")).bitwiseAND(F.lit(1)) == 1,
+                                         F.lit(1)).otherwise(F.lit(-1)).cast("bigint")),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(counts,
+                   F.sequence(F.lit(0), F.lit(bits - 1)).cast("array<bigint>"),
+                   lambda c, j: F.when(c > 0, F.shiftleft(F.lit(1).cast("bigint"), j.cast("int"))).otherwise(F.lit(0).cast("bigint"))),
+        F.lit(0).cast("bigint"),
+        lambda a, b: a + b,
+    )
+
+
+# --- small-scale exact clustering ---------------------------------------------
+
+def connected_components_small(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Transitive closure of near-dup pairs by iterative min-label propagation
+    (star contraction).  For modest candidate sets (the verified-pair graph is
+    tiny relative to the corpus); each iteration is one join + one agg.
+    Returns (node, component) with component = min node id of the cluster."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("node", "component").union(neigh)
+            .groupBy("node").agg(F.min("component").alias("component"))
+        )
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component")).limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -1,0 +1,99 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline staple with no direct reference analogue (nearest
+structural relative: the filter-metadata nearest-lookup, reference
+instruments.py:3508-3524 — find the best reference row for a record).
+
+Two paths:
+  * ``cosine_topk`` — exact brute force: broadcast the (small) query set,
+    score every corpus row JVM-side (``zip_with``+``aggregate`` dot product in
+    double), rank per query with one window.  The scan is embarrassingly
+    parallel; the only shuffle is the final per-query top-k (tiny after a
+    partial sort).  This is the correctness baseline.
+  * ``lsh_ann`` — sign-bit LSH (axis-aligned hyperplanes over the first
+    ``n_planes`` dims): bucket both sides, join on bucket, score only within
+    buckets.  At 100 TB this turns the O(N·Q) scan into O(N·Q/2^planes)
+    expected work at some recall cost; planes are a recall/cost dial.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Index-ordered double-precision dot product (deterministic fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    ))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.greatest(l2_norm(a) * l2_norm(b), F.lit(1e-12))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding", k: int = 10) -> DataFrame:
+    """Exact top-k neighbors per query.  Returns
+    (query_id, vec_id, rank, cos) ordered deterministically (cos desc, id)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+        .drop("_qv", "_cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cos")
+    )
+
+
+def sign_bucket(vec: Column, n_planes: int = 8) -> Column:
+    """LSH bucket id from the sign bits of the first n_planes coordinates."""
+    bits = [
+        F.when(F.element_at(vec, i + 1) > 0,
+               F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        for i in range(n_planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_ann(corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id",
+            vec_col: str = "embedding", k: int = 10, n_planes: int = 8) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign bucket."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        sign_bucket(F.col(vec_col), n_planes).alias("_bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"),
+        sign_bucket(F.col(vec_col), n_planes).alias("_bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "_bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+        .drop("_qv", "_cv", "_bucket")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cos")
+    )

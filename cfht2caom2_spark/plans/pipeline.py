@@ -1,0 +1,129 @@
+"""The flagship end-to-end quality-filter plan.
+
+Reference analogue: the canonical per-record step sequence the reference
+spells out at cfht_name.py:734-756 (preconditions -> read -> visit_meta ->
+visit_data -> write -> store), recast as ONE declarative DataFrame graph
+(SURVEY.md §3.1):
+
+    read pages
+      -> extraction (mapInPandas, byte-identical; S4/S5)     [narrow]
+      -> language ID (iterator pandas UDF, broadcast model)  [narrow]
+      -> heuristic stats (built-in exprs; P11)               [narrow]
+      -> perplexity (iterator pandas UDF)                    [narrow]
+      -> scrub (regexp chains; P10)                          [narrow]
+      -> minhash dedup flag (J8)                             [the one wide op]
+      -> decision (P14)                                      [narrow]
+      -> decisions sink + lineage rows (A6)
+
+Everything upstream of dedup pipelines in one stage per partition (the
+single-visit fusion lesson, composable.py:90-98).  At 100 TB the plan's cost
+is: 1 scan + 3 Arrow passes + 1 band-bucket shuffle + 1 small agg; no other
+data movement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_PROFILE, RuleProfile
+from ..functions.extraction import with_extracted_text, with_extracted_text_passthrough
+from ..functions.langid import TrigramLangID, with_langid
+from ..functions.perplexity import BigramLM, with_perplexity
+from ..functions.quality import with_quality_stats
+from ..functions.scrub import with_scrub
+from ..operators.decision import with_decision
+from ..operators.dedup import minhash_dedup_losers
+from ..operators.resume import lineage_rows, pending_work, read_lineage, write_lineage
+
+OUTPUT_COLUMNS = [
+    "url", "warc_ts", "extracted_sha256", "lang_pred", "lang_conf", "ppl",
+    "n_words", "mean_word_len", "symbol_ratio", "stopword_frac",
+    "alpha_word_frac", "repeated_line_frac", "keep", "rules", "scrubbed_text",
+]
+
+
+def build_pipeline(pages: DataFrame, spark: SparkSession,
+                   profile: RuleProfile = DEFAULT_PROFILE,
+                   dedupe: bool = True,
+                   langid_model: TrigramLangID | None = None,
+                   ppl_model: BigramLM | None = None,
+                   id_col: str = "url",
+                   order_col: str = "warc_ts",
+                   has_html: bool = True) -> DataFrame:
+    """Pure plan builder: pages -> decisions.  Imported by batch main,
+    streaming foreachBatch, pytest, and the driver entry — the same plan runs
+    everywhere (the reference's SCRAPE-mode purity, SURVEY.md §3.3)."""
+    df = pages
+    if has_html:
+        df = with_extracted_text(df)
+    else:
+        df = with_extracted_text_passthrough(df)
+    df = with_langid(df, spark, model=langid_model)
+    df = with_quality_stats(df, text_col="extracted_text", lang_col="lang_pred")
+    df = with_perplexity(df, spark, model=ppl_model)
+    df = with_scrub(df)
+
+    near_dup_col = None
+    if dedupe:
+        # the single wide dependency: banded minhash self-join over rows that
+        # are still alive after the cheap rules (don't pay the shuffle for
+        # rows that are dropped anyway — predicate-first ordering, SURVEY §4)
+        candidates = df.filter(F.col("extracted_text").isNotNull())
+        losers = minhash_dedup_losers(
+            candidates, id_col=id_col, text_col="extracted_text",
+            order_col=order_col,
+            bands=profile.minhash_bands,
+            rows_per_band=profile.minhash_rows_per_band,
+            k=profile.shingle_size,
+            threshold=profile.dedup_jaccard,
+        ).withColumnRenamed("loser_id", id_col).withColumn("_is_dup", F.lit(True))
+        df = df.join(losers, on=id_col, how="left").withColumn(
+            "_near_dup", F.coalesce(F.col("_is_dup"), F.lit(False))
+        ).drop("_is_dup")
+        near_dup_col = "_near_dup"
+
+    df = with_decision(df, profile, near_dup_col=near_dup_col)
+    out_cols = [c for c in OUTPUT_COLUMNS if c in df.columns]
+    # scrubbed text is the stored artifact only for kept docs (S10 analogue)
+    return df.select(*out_cols).withColumn(
+        "scrubbed_text", F.when(F.col("keep"), F.col("scrubbed_text"))
+    )
+
+
+def run_batch(spark: SparkSession, pages: DataFrame, out_dir: str,
+              profile: RuleProfile = DEFAULT_PROFILE,
+              snapshot_id: int = 0, resume: bool = True,
+              dedupe: bool = True) -> dict:
+    """Materializing driver: resume anti-join -> pipeline -> decisions +
+    lineage.  Decisions are written partitioned by day with dynamic partition
+    overwrite, so re-running a day is idempotent (exactly-once effect under
+    at-least-once execution — SURVEY §7.4 hard part (4))."""
+    lineage_path = f"{out_dir}/lineage"
+    decisions_path = f"{out_dir}/decisions"
+    work = pages
+    if resume:
+        lineage = read_lineage(spark, lineage_path)
+        work = pending_work(pages, lineage, snapshot_id=snapshot_id)
+    if work.isEmpty():
+        return {"processed": 0, "partitions": 0}
+
+    decisions = build_pipeline(work, spark, profile, dedupe=dedupe)
+    decisions = decisions.withColumn(
+        "p_day", F.date_format(F.col("warc_ts"), "yyyy-MM-dd")
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    decisions.write.mode("overwrite").partitionBy("p_day").parquet(decisions_path)
+
+    written = spark.read.parquet(decisions_path)
+    done_days = [r["p_day"] for r in work.select(
+        F.date_format("warc_ts", "yyyy-MM-dd").alias("p_day")).distinct().collect()]
+    fresh = written.filter(F.col("p_day").isin(done_days))
+    lin = lineage_rows(fresh, profile, snapshot_id)
+    write_lineage(lin, lineage_path)
+    stats = fresh.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
+    ).collect()[0]
+    return {"processed": stats["n"], "kept": stats["kept"],
+            "partitions": len(done_days)}
