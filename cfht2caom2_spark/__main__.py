@@ -1,0 +1,92 @@
+"""spark-submit entry point.
+
+North-rule launch shape: ``spark-submit --py-files cfht2caom2_spark.zip
+-m …`` on a multi-executor cluster.  Locally::
+
+    python -m cfht2caom2_spark batch  --pages <dir> --out <dir> [--no-dedupe]
+    python -m cfht2caom2_spark state  --table <dir> --out <dir> --bookmark <f>
+    python -m cfht2caom2_spark stream --table <dir> --out <dir>
+    python -m cfht2caom2_spark synth  --out <dir> --rows 100000
+
+Reference analogue: the cfht_run / cfht_run_state console scripts
+(setup.cfg:67-68) — one binary per execution mode over the same visitor plan.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="cfht2caom2_spark")
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    b = sub.add_parser("batch", help="full batch run with lineage + resume")
+    b.add_argument("--pages", required=True, help="pages parquet/table dir")
+    b.add_argument("--out", required=True)
+    b.add_argument("--snapshot-id", type=int, default=0)
+    b.add_argument("--no-dedupe", action="store_true")
+    b.add_argument("--no-resume", action="store_true")
+
+    s = sub.add_parser("state", help="incremental snapshot-range tick")
+    s.add_argument("--table", required=True, help="SnapshotTable root")
+    s.add_argument("--out", required=True)
+    s.add_argument("--bookmark", required=True)
+
+    st = sub.add_parser("stream", help="structured-streaming mode")
+    st.add_argument("--table", required=True)
+    st.add_argument("--out", required=True)
+    st.add_argument("--continuous", action="store_true",
+                    help="keep running (default: availableNow then exit)")
+
+    g = sub.add_parser("synth", help="generate a synthetic pages table")
+    g.add_argument("--out", required=True)
+    g.add_argument("--rows", type=int, default=100_000)
+    g.add_argument("--seed", type=int, default=42)
+
+    args = p.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"cfht2caom2_spark-{args.mode}")
+
+    if args.mode == "batch":
+        from .plans.pipeline import run_batch
+
+        pages = spark.read.parquet(args.pages)
+        if "p_day" in pages.columns:
+            pages = pages.drop("p_day")
+        result = run_batch(spark, pages, args.out,
+                           snapshot_id=args.snapshot_id,
+                           resume=not args.no_resume,
+                           dedupe=not args.no_dedupe)
+        print(json.dumps(result))
+    elif args.mode == "state":
+        from .sources.table import SnapshotTable
+        from .streaming.incremental import process_increment
+
+        result = process_increment(spark, SnapshotTable(args.table),
+                                   args.out, args.bookmark)
+        print(json.dumps(result))
+    elif args.mode == "stream":
+        from .sources.table import SnapshotTable
+        from .streaming.incremental import stream_pages
+
+        q = stream_pages(spark, SnapshotTable(args.table), args.out,
+                         trigger_once=not args.continuous)
+        q.awaitTermination()
+    elif args.mode == "synth":
+        from .sources.pages import synth_pages
+
+        synth_pages(spark, args.rows, args.seed).write.mode("overwrite") \
+            .parquet(args.out)
+        print(json.dumps({"rows": args.rows, "out": args.out}))
+
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -27,6 +27,16 @@ def doc_id_from_url(url: Column) -> Column:
     return F.regexp_replace(path(url), r"\.(html?|php|aspx?)$", "")
 
 
+def payload_info(html: Column) -> Column:
+    """struct<n_bytes, md5> of the raw payload — the FileInfo probe (S6,
+    reference cfht_name.py:528-529: size/md5/type per file), used for
+    change detection and idempotent re-stores."""
+    return F.struct(
+        F.coalesce(F.length(html), F.lit(0)).cast("bigint").alias("n_bytes"),
+        F.md5(html).alias("md5"),
+    )
+
+
 def salted_key(url: Column, n_salts: int = 16) -> Column:
     """host + deterministic salt bucket — used to repartition ahead of
     per-host windows so one hot host cannot pin a single task (SURVEY.md §4

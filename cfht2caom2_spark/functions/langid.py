@@ -49,6 +49,7 @@ class TrigramLangID:
     """
 
     UNSEEN_LOGPROB = -9.0
+    SAMPLE_CHARS = 1200  # classification saturates well below this
 
     def __init__(self, corpora: dict[str, str] | None = None):
         corpora = corpora or CORPORA
@@ -64,26 +65,43 @@ class TrigramLangID:
                 g: math.log((c + 1) / (total + vocab)) for g, c in counts.items()
             }
             self.floor[lang] = self.UNSEEN_LOGPROB
+        # per-gram score tuple across all langs: ONE dict lookup per unique
+        # gram at scoring time instead of len(langs) lookups per gram token
+        all_grams = set().union(*[set(m) for m in self.logprob.values()])
+        self.gram_scores: dict[str, tuple[float, ...]] = {
+            g: tuple(self.logprob[l].get(g, self.floor[l]) for l in self.langs)
+            for g in all_grams
+        }
+        self.floor_vec = tuple(self.floor[l] for l in self.langs)
 
     def predict_one(self, text: str | None) -> tuple[str, float]:
         if not text:
             return "und", 0.0
         # CJK shortcut — the strong-evidence-first branch
-        n = min(len(text), 4000)
+        n = min(len(text), self.SAMPLE_CHARS)
         sample = text[:n]
         cjk = len(_RE_CJK.findall(sample))
         if cjk / max(n, 1) > 0.30:
             return "zh", min(1.0, cjk / max(n, 1) + 0.5)
         norm = _normalize(sample)
-        grams = [norm[i : i + 3] for i in range(len(norm) - 2)]
-        if not grams:
+        n_grams = len(norm) - 2
+        if n_grams <= 0:
             return "und", 0.0
+        # aggregate over UNIQUE grams with multiplicity: one lookup per
+        # unique gram, all languages scored from the precomputed tuple
+        acc = [0.0] * len(self.langs)
+        gs = self.gram_scores
+        fv = self.floor_vec
+        for g, c in Counter(norm[i : i + 3] for i in range(n_grams)).items():
+            vec = gs.get(g, fv)
+            for k in range(len(acc)):
+                acc[k] += c * vec[k]
         # script gating: zh competes only when CJK is actually present
-        candidates = [l for l in self.langs if l != "zh" or cjk / max(n, 1) > 0.05]
+        zh_ok = cjk / max(n, 1) > 0.05
         scores = {
-            lang: sum(self.logprob[lang].get(g, self.floor[lang]) for g in grams)
-            / len(grams)
-            for lang in candidates
+            lang: acc[k] / n_grams
+            for k, lang in enumerate(self.langs)
+            if lang != "zh" or zh_ok
         }
         # deterministic argmax: score desc, lang asc
         best = min(scores, key=lambda l: (-scores[l], l))

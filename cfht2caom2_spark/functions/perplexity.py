@@ -50,17 +50,24 @@ class BigramLM:
             # unseen bigram: assume unseen context with count ~ median unigram
             self.floors[lang] = math.log2(1 / (vocab * 4))
 
+    SAMPLE_CHARS = 2000
+
     def perplexity_one(self, text: str | None, lang: str | None) -> float:
         if not text:
             return float("inf")
         lang = lang if lang in self.models else "en"
         model, floor = self.models[lang], self.floors[lang]
-        sample = " " + _RE_WS.sub(" ", text[:4000].lower()) + " "
+        sample = " " + _RE_WS.sub(" ", text[: self.SAMPLE_CHARS].lower()) + " "
         n = len(sample) - 1
         if n <= 0:
             return float("inf")
-        h = -sum(model.get(sample[i : i + 2], floor) for i in range(n)) / n
-        return 2.0**h
+        # one lookup per UNIQUE bigram, weighted by multiplicity
+        from collections import Counter as _C
+
+        total = 0.0
+        for bg, c in _C(sample[i : i + 2] for i in range(n)).items():
+            total += c * model.get(bg, floor)
+        return 2.0 ** (-total / n)
 
     def perplexity_series(self, texts: pd.Series, langs: pd.Series) -> pd.Series:
         return pd.Series(

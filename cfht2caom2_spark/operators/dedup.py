@@ -80,13 +80,23 @@ def _perm_params(num_perms: int) -> list[tuple[int, int]]:
 
 
 def minhash_signature(text: Column, num_perms: int, k: int = 3) -> Column:
-    """array<bigint> of num_perms minhashes, one narrow JVM expression."""
+    """array<bigint> of num_perms minhashes.
+
+    ONE fold over the shingle-hash array computing all permutations per
+    element (zip_with least against the running minima) — the shingling and
+    md5 work happens exactly once per document.  (The naive form — num_perms
+    separate array_min(transform(...)) expressions — re-inlines the shingle
+    pipeline per permutation and is ~16x slower.)
+    """
     hashes = F.transform(word_shingles(text, k), shingle_hash)
-    sigs = [
-        F.array_min(F.transform(hashes, lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_31))
-        for a, b in _perm_params(num_perms)
-    ]
-    return F.array(*sigs)
+    perms = _perm_params(num_perms)
+    init = F.array_repeat(F.lit(MERSENNE_31).cast("bigint"), num_perms)
+
+    def step(acc: Column, x: Column) -> Column:
+        cand = F.array(*[(F.lit(a) * x + F.lit(b)) % MERSENNE_31 for a, b in perms])
+        return F.zip_with(acc, cand, lambda m, c: F.least(m, c))
+
+    return F.aggregate(hashes, init, step)
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -155,6 +165,14 @@ def minhash_dedup_losers(df: DataFrame, id_col: str, text_col: str,
         F.col(order_col).alias("_ord"),
         F.col(text_col).alias("_txt"),
     )
+    # one row per id: the FIRST arrival's content/timestamp represents the id
+    # (re-arrivals of the same url must not create self-pairs or ambiguous
+    # ordering — the store_modified_files_only discipline, config.yml:33-36)
+    w = Window.partitionBy("_id").orderBy("_ord")
+    keyed = (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1).drop("_rn")
+    )
     pairs = lsh_candidate_pairs(keyed, "_id", "_txt", bands, rows_per_band, k)
     verified = jaccard(pairs, keyed, "_id", "_txt", k).filter(
         F.col("jaccard") >= threshold
@@ -183,25 +201,20 @@ def simhash(text: Column, bits: int = 16) -> Column:
         F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != F.lit(""))
     )
     hashes = F.transform(toks, shingle_hash)
-    zeros = F.array_repeat(F.lit(0).cast("bigint"), bits)
-    counts = F.aggregate(
-        hashes,
-        zeros,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(F.sequence(F.lit(0), F.lit(bits - 1)),
-                        lambda j: F.when(F.shiftright(h, j.cast("int")).bitwiseAND(F.lit(1)) == 1,
-                                         F.lit(1)).otherwise(F.lit(-1)).cast("bigint")),
-            lambda a, b: a + b,
-        ),
-    )
-    return F.aggregate(
-        F.zip_with(counts,
-                   F.sequence(F.lit(0), F.lit(bits - 1)).cast("array<bigint>"),
-                   lambda c, j: F.when(c > 0, F.shiftleft(F.lit(1).cast("bigint"), j.cast("int"))).otherwise(F.lit(0).cast("bigint"))),
-        F.lit(0).cast("bigint"),
-        lambda a, b: a + b,
-    )
+    # bits is a Python int, so unroll per-bit folds at plan-build time
+    # (shiftright takes a literal shift amount)
+    def bit_fold(j: int):
+        # two-arg lambda (higher-order fns dispatch on lambda arity)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    out = F.lit(0).cast("bigint")
+    for j in range(bits):
+        bit_sum = F.aggregate(hashes, F.lit(0).cast("bigint"), bit_fold(j))
+        out = out + F.when(bit_sum > 0, F.lit(1 << j).cast("bigint")) \
+            .otherwise(F.lit(0).cast("bigint"))
+    return out
 
 
 # --- small-scale exact clustering ---------------------------------------------

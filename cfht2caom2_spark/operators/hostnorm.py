@@ -1,0 +1,83 @@
+"""Per-host normalization — skew-aware two-phase consensus aggregation.
+
+Reference analogue: sibling-record backfill within an observation group
+(Sitelle p<->z copy, instruments.py:1951-2019; WIRCam :3016-3072) — a record
+missing a value takes it from group consensus.  Web recast: a page whose
+language prediction is low-confidence takes the majority language of its
+host (hosts are strongly monolingual in practice).
+
+Scale design (the part the reference never needed, SURVEY.md §4 skew row):
+host is a SKEWED key — one hot host can be 30%+ of a crawl.  A naive
+``groupBy(host)`` hashes every row of that host to one reducer.  This
+operator aggregates in two phases instead:
+
+  phase 1: groupBy(host, salt, lang) — the salt (derived from the url hash)
+           splits the hot host's rows across the cluster; partial counts.
+  phase 2: groupBy(host, lang) over the tiny partial-count table; majority
+           pick with a deterministic tiebreak.
+
+The consensus table is then broadcast back — no shuffle of the fact rows at
+all.  (With AQE skew-join enabled the naive plan also survives, but the
+two-phase form bounds reducer memory by construction.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.identity import host as host_of
+
+
+def host_lang_consensus(df: DataFrame, url_col: str = "url",
+                        lang_col: str = "lang_pred",
+                        conf_col: str = "lang_conf",
+                        min_conf: float = 0.5,
+                        n_salts: int = 16) -> DataFrame:
+    """(host, consensus_lang, n_votes): majority lang among confident rows."""
+    votes = (
+        df.filter(F.col(conf_col) >= min_conf)
+        .select(
+            host_of(F.col(url_col)).alias("host"),
+            F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_salts)).alias("_salt"),
+            F.col(lang_col).alias("lang"),
+        )
+    )
+    partial = votes.groupBy("host", "_salt", "lang").agg(
+        F.count(F.lit(1)).alias("_c"))
+    totals = partial.groupBy("host", "lang").agg(F.sum("_c").alias("n_votes"))
+    best = totals.groupBy("host").agg(
+        F.max_by(
+            F.struct("lang", "n_votes"),
+            F.struct(F.col("n_votes"), F.col("lang")),  # ties -> later lang, deterministic
+        ).alias("_b")
+    )
+    return best.select("host", F.col("_b.lang").alias("consensus_lang"),
+                       F.col("_b.n_votes").alias("n_votes"))
+
+
+def with_host_lang_backfill(df: DataFrame, url_col: str = "url",
+                            lang_col: str = "lang_pred",
+                            conf_col: str = "lang_conf",
+                            min_conf: float = 0.5,
+                            adopt_below: float = 0.3) -> DataFrame:
+    """Low-confidence rows adopt their host's consensus language.
+
+    Adds ``lang_final`` (= lang_pred, or the host consensus when
+    lang_conf < adopt_below and a consensus exists) and ``lang_source``
+    ('model' | 'host_consensus').  Consensus side is broadcast — the fact
+    table is never shuffled.
+    """
+    consensus = host_lang_consensus(df, url_col, lang_col, conf_col, min_conf)
+    joined = df.withColumn("_host", host_of(F.col(url_col))).join(
+        F.broadcast(consensus), F.col("_host") == F.col("host"), "left"
+    )
+    adopt = (F.col(conf_col) < adopt_below) & F.col("consensus_lang").isNotNull()
+    return (
+        joined.withColumn("lang_final",
+                          F.when(adopt, F.col("consensus_lang"))
+                          .otherwise(F.col(lang_col)))
+        .withColumn("lang_source",
+                    F.when(adopt, F.lit("host_consensus")).otherwise(F.lit("model")))
+        .drop("_host", "host", "consensus_lang", "n_votes")
+    )

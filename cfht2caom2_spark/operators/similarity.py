@@ -74,6 +74,30 @@ def sign_bucket(vec: Column, n_planes: int = 8) -> Column:
     return out
 
 
+def embedding_neardup_losers(df: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             threshold: float = 0.95,
+                             n_planes: int = 8) -> DataFrame:
+    """Embedding-cosine near-dup removal: ids whose vector is >= threshold
+    cosine-similar to an earlier (smaller-id) vector in the same sign bucket.
+
+    The semantic-dedup sibling of the MinHash text path: bucket (narrow) ->
+    in-bucket self-join (the one shuffle) -> verify -> earliest wins.  At
+    scale the bucket join bounds candidate pairs to ~N^2/2^planes.
+    """
+    b = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        sign_bucket(F.col(vec_col), n_planes).alias("_bucket"),
+    )
+    pairs = (
+        b.alias("l").join(b.alias("r"), "_bucket")
+        .filter(F.col("l._id") < F.col("r._id"))
+        .withColumn("cos", cosine(F.col("l._v"), F.col("r._v")))
+        .filter(F.col("cos") >= threshold)
+    )
+    return pairs.select(F.col("r._id").alias("loser_id")).distinct()
+
+
 def lsh_ann(corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id",
             vec_col: str = "embedding", k: int = 10, n_planes: int = 8) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign bucket."""

@@ -1,0 +1,864 @@
+"""Operator-level queries + ANSI-SQL oracles for the driver's DuckDB check.
+
+Each entry exercises one operator family from SURVEY.md §2 on the driver's
+testdata tables and has a semantically identical DuckDB SQL string.  Parity
+discipline:
+  * every computed column is aliased identically on both sides;
+  * all integer aggregates are BIGINT, ratios are DOUBLE computed with the
+    same operation order (guarded divisions — Spark 4 runs ANSI mode);
+  * money sums go through exact integer cents so float summation order can't
+    diverge between engines;
+  * hashes are md5-derived (identical in both engines); MinHash/SimHash
+    arithmetic stays below 2^62 so int64 overflow semantics never differ.
+
+The SQL strings are built programmatically where the expansion is mechanical
+(MinHash permutations); they remain plain ANSI SQL DuckDB executes verbatim.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import STOPWORDS
+from ..functions import quality as Q
+from ..functions import tokens as TK
+from ..functions.scrub import scrubbed
+from ..operators import similarity as SIM
+from ..operators.dedup import (MERSENNE_31, _perm_params, lsh_candidate_pairs,
+                               simhash, word_shingles)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Heavy per-row compute reads: fan a small local file out to all cores
+    (a real table would already arrive in many partitions; the testdata is a
+    single tiny file, which otherwise pins expression-heavy queries to 1 task)."""
+    return _t(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL fragments shared by the oracles
+# --------------------------------------------------------------------------
+
+_SW_EN = ",".join(f"'{w}'" for w in STOPWORDS["en"])
+_TOKS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')"
+_SHINGLE_HASH = "(('0x' || substr(md5({s}), 1, 15))::BIGINT % 2147483647)"
+
+
+def _shingles_sql(toks: str = "toks", k: int = 3) -> str:
+    parts = "||' '||".join(f"{toks}[i+{j}]" for j in range(k))
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= {k} THEN "
+        f"list_transform(generate_series(1, greatest(len({toks})-{k-1}, 1)), i -> {parts}) "
+        f"ELSE [array_to_string({toks}, ' ')] END)"
+    )
+
+
+# --------------------------------------------------------------------------
+# P11 — heuristic text statistics (documents)
+# --------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    toks = Q.tokens(text)
+    docs = docs.withColumn("_toks", toks)
+    t = F.col("_toks")
+    return docs.select(
+        "doc_id",
+        Q.n_words(t).alias("n_words"),
+        Q.mean_word_len(t).alias("mean_word_len"),
+        Q.symbol_ratio(text).alias("symbol_ratio"),
+        Q.stopword_frac(t, "en").alias("stopword_frac"),
+        Q.alpha_word_frac(t).alias("alpha_word_frac"),
+        Q.repeated_line_frac(text).alias("repeated_line_frac"),
+    )
+
+
+Q_TEXT_STATS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lns
+  FROM documents
+)
+SELECT doc_id,
+  len(toks)::BIGINT AS n_words,
+  coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+    / greatest(len(toks), 1)::DOUBLE AS mean_word_len,
+  (length(text) - length(regexp_replace(text, '[#@$%^&*+=~|]', '', 'g')))::DOUBLE
+    / greatest(length(text), 1)::DOUBLE AS symbol_ratio,
+  len(list_filter(toks, x -> lower(x) IN ({_SW_EN})))::DOUBLE
+    / greatest(len(toks), 1)::DOUBLE AS stopword_frac,
+  len(list_filter(toks, x -> regexp_matches(x, '[A-Za-zÀ-ÿ一-鿿]')))::DOUBLE
+    / greatest(len(toks), 1)::DOUBLE AS alpha_word_frac,
+  CASE WHEN len(lns) <= 0 THEN 0.0
+       ELSE 1.0 - len(list_distinct(lns))::DOUBLE / len(lns)::DOUBLE
+  END AS repeated_line_frac
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# P14 — keep/drop decision from heuristic rules only (documents)
+# --------------------------------------------------------------------------
+
+_DOC_RULES = (
+    ("too_short", "n_words < 50"),
+    ("word_len_low", "mean_word_len < 3.0"),
+    ("word_len_high", "mean_word_len > 10.0"),
+    ("symbol_ratio", "symbol_ratio > 0.10"),
+    ("stopword_frac", "stopword_frac < 0.01"),
+    ("alpha_frac", "alpha_word_frac < 0.80"),
+)
+
+
+def q_quality_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = q_text_stats(spark, sf_dir)
+    conds = {
+        "too_short": F.col("n_words") < 50,
+        "word_len_low": F.col("mean_word_len") < 3.0,
+        "word_len_high": F.col("mean_word_len") > 10.0,
+        "symbol_ratio": F.col("symbol_ratio") > 0.10,
+        "stopword_frac": F.col("stopword_frac") < 0.01,
+        "alpha_frac": F.col("alpha_word_frac") < 0.80,
+    }
+    rules = F.array_sort(F.filter(
+        F.array(*[F.when(c, F.lit(r)) for r, c in conds.items()]),
+        lambda x: x.isNotNull(),
+    ))
+    return stats.select(
+        "doc_id",
+        F.array_join(rules, ",").alias("rules_str"),
+        (F.size(rules) == 0).alias("keep"),
+    )
+
+
+_DOC_RULE_CASES = ", ".join(
+    f"CASE WHEN {cond} THEN '{rule}' END" for rule, cond in _DOC_RULES
+)
+Q_QUALITY_DECISION_SQL = f"""
+WITH s AS ({Q_TEXT_STATS_SQL.strip()}),
+r AS (
+  SELECT doc_id,
+    list_sort(list_filter([{_DOC_RULE_CASES}], x -> x IS NOT NULL)) AS rules
+  FROM s
+)
+SELECT doc_id, coalesce(array_to_string(rules, ','), '') AS rules_str,
+       coalesce(len(rules), 0) = 0 AS keep
+FROM r
+"""
+
+
+# --------------------------------------------------------------------------
+# A5 — grouped report (documents)
+# --------------------------------------------------------------------------
+
+def q_lang_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            (F.sum("n_chars").cast("double")
+             / F.greatest(F.count(F.lit(1)), F.lit(1)).cast("double")).alias("avg_chars"),
+        )
+    )
+
+
+Q_LANG_REPORT_SQL = """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       sum(n_chars)::DOUBLE / greatest(count(*), 1)::DOUBLE AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# token counting (documents)
+# --------------------------------------------------------------------------
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TK.ws_token_count(F.col("text")).alias("ws_tokens"),
+        TK.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
+Q_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+  len({_TOKS})::BIGINT AS ws_tokens,
+  len(regexp_extract_all(text, '{TK.BPE_ISH_PATTERN}'))::BIGINT AS bpe_ish_tokens
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# fingerprints (documents)
+# --------------------------------------------------------------------------
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t_wide(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TK.md5_fingerprint(F.col("text")).alias("md5_fp"),
+        TK.rolling_hash(F.col("text")).alias("rolling_fp"),
+    )
+
+
+Q_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS md5_fp,
+  list_reduce(
+    list_transform(generate_series(1, length(text)),
+                   i -> ascii(substring(text, i, 1))::BIGINT),
+    (a, b) -> (a * 31 + b) % 1000000007
+  ) AS rolling_fp
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# P10 — PII scrub chain (documents + synthesized PII suffix)
+# --------------------------------------------------------------------------
+
+_PII_SUFFIX = (" contact user{ID}@example.com or +1 555-123-4567"
+               " ssn 123-45-6789 host 10.1.2.3")
+
+
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t_wide(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555-123-4567 ssn 123-45-6789 host 10.1.2.3"),
+    )
+    return docs.select("doc_id", scrubbed(pii_text).alias("scrubbed"))
+
+
+def _scrub_sql_chain(col: str) -> str:
+    from ..config import PII_PATTERNS
+    out = col
+    for _rule, pattern, repl in PII_PATTERNS:
+        sql_pat = pattern.replace("'", "''")
+        out = f"regexp_replace({out}, '{sql_pat}', '{repl}', 'g')"
+    return out
+
+
+Q_SCRUB_PII_SQL = f"""
+SELECT doc_id,
+  {_scrub_sql_chain("text || ' contact user' || doc_id::VARCHAR || "
+                    "'@example.com or +1 555-123-4567 ssn 123-45-6789 host 10.1.2.3'")}
+  AS scrubbed
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup: exact groups + first-wins (documents)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(TK.md5_fingerprint(F.col("text")).alias("md5_fp"))
+        .agg(F.min("doc_id").alias("keeper_id"),
+             F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+Q_DEDUP_EXACT_SQL = r"""
+SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS md5_fp,
+       min(doc_id) AS keeper_id, count(*)::BIGINT AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(TK.md5_fingerprint(F.col("text"))).orderBy("doc_id")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+Q_DEDUP_FIRST_WINS_SQL = r"""
+SELECT doc_id, lang, source FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+  ORDER BY doc_id) = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# J8a — exact n-gram Jaccard similarity pairs (documents, same source)
+# --------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.35
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t_wide(spark, sf_dir, "documents").select(
+        "doc_id", "source", word_shingles(F.col("text"), 3).alias("_sh")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.source") == F.col("b.source"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .withColumn("_i", F.size(F.array_intersect("a._sh", "b._sh")).cast("double"))
+        .withColumn("_u", F.size(F.array_union("a._sh", "b._sh")).cast("double"))
+        .withColumn("jaccard", F.col("_i") / F.greatest(F.col("_u"), F.lit(1.0)))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
+        F.col("jaccard"),
+    )
+
+
+Q_JACCARD_PAIRS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, {_shingles_sql(_TOKS, 3)} AS sh FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  len(list_intersect(a.sh, b.sh))::DOUBLE
+    / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1)::DOUBLE
+  AS jaccard
+FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+    / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1)::DOUBLE
+  >= {JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# J8b — MinHash LSH candidate pairs (documents)
+# --------------------------------------------------------------------------
+
+MH_BANDS, MH_ROWS = 8, 2
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t_wide(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs, "doc_id", "text",
+                               bands=MH_BANDS, rows_per_band=MH_ROWS, k=3)
+
+
+def _minhash_sql() -> str:
+    perms = _perm_params(MH_BANDS * MH_ROWS)
+    mh_exprs = ", ".join(
+        f"list_min(list_transform(sh, s -> ({a} * {_SHINGLE_HASH.format(s='s')} + {b})"
+        f" % {MERSENNE_31}))"
+        for a, b in perms
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_shingles_sql(_TOKS, 3)} AS sh FROM documents
+),
+sig AS (
+  SELECT doc_id, [{mh_exprs}] AS s FROM t
+),
+banded AS (
+  SELECT doc_id, b,
+         s[{MH_ROWS}*b + 1]::VARCHAR || '_' || s[{MH_ROWS}*b + 2]::VARCHAR AS key
+  FROM sig, UNNEST(generate_series(0, {MH_BANDS - 1})) AS u(b)
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM banded l JOIN banded r ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id
+"""
+
+
+Q_MINHASH_PAIRS_SQL = _minhash_sql()
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprints (documents)
+# --------------------------------------------------------------------------
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t_wide(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash(F.col("text"), bits=16).alias("simhash16"))
+
+
+Q_SIMHASH_SQL = f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id, {_SHINGLE_HASH.format(s='tok')} AS hh FROM w
+),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (hh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, UNNEST(generate_series(0, 15)) AS u(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash16
+FROM bits GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search (embeddings)
+# --------------------------------------------------------------------------
+
+TOPK_K, TOPK_NQUERIES = 10, 5
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_NQUERIES)
+    return SIM.cosine_topk(emb, queries, k=TOPK_K).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+Q_COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {TOPK_NQUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[])
+      / greatest(sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
+               * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])),
+               1e-12) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {TOPK_K}
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_NQUERIES)
+    return SIM.lsh_ann(emb, queries, k=TOPK_K, n_planes=8).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+_BUCKET_SQL = ("(" + " + ".join(
+    f"CASE WHEN embedding[{i + 1}] > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END"
+    for i in range(8)) + ")")
+
+Q_ANN_LSH_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
+      WHERE vec_id < {TOPK_NQUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    list_dot_product(q.qv::DOUBLE[], e.embedding::DOUBLE[])
+      / greatest(sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))
+               * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])),
+               1e-12) AS cos
+  FROM b e JOIN q ON e.bucket = q.bucket
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {TOPK_K}
+"""
+
+
+EMB_DEDUP_THRESHOLD = 0.35
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.embedding_neardup_losers(
+        emb, threshold=EMB_DEDUP_THRESHOLD, n_planes=8)
+
+
+Q_EMBEDDING_NEARDUP_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+),
+pairs AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+    list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+      / greatest(sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[])),
+               1e-12) AS cos
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT DISTINCT id_b AS loser_id FROM pairs WHERE cos >= {EMB_DEDUP_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# relational operator checks (TPC-H-ish tables)
+# --------------------------------------------------------------------------
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+def q_pricing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: partial+final hash agg; exact integer-cent arithmetic
+    so float summation order can't diverge from the oracle."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz")
+    )
+    disc_bp = F.round(F.col("l_discount") * 10000).cast("bigint")
+    revenue_e6 = (_cents("l_extendedprice") * (F.lit(10000) - disc_bp))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_price_cents"),
+            F.sum(revenue_e6).alias("sum_disc_price_e6"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q_PRICING_REPORT_SQL = """
+SELECT l_returnflag, l_linestatus,
+  sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+  sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_base_price_cents,
+  sum(round(l_extendedprice * 100)::BIGINT
+      * (10000 - round(l_discount * 10000)::BIGINT))::BIGINT AS sum_disc_price_e6,
+  count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 shape: fact scan + broadcast dimension joins (customer->nation
+    ->region are the small sides; Spark broadcasts them)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    disc_bp = F.round(F.col("l_discount") * 10000).cast("bigint")
+    revenue_e6 = _cents("l_extendedprice") * (F.lit(10000) - disc_bp)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(revenue_e6).alias("revenue_e6"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q_REVENUE_BY_NATION_SQL = """
+SELECT r_name, n_name,
+  sum(round(l_extendedprice * 100)::BIGINT
+      * (10000 - round(l_discount * 10000)::BIGINT))::BIGINT AS revenue_e6,
+  count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_window_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4-J6 shape: null backfill from group siblings via ignorenulls window.
+    'error' events have their value masked, then recovered from the first
+    non-masked event of the same user (deterministic total order)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "masked", F.when(F.col("event_type") != "error", F.col("value"))
+    )
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return ev.select(
+        "event_id", "user_id",
+        F.coalesce(F.col("masked"),
+                   F.first("masked", ignorenulls=True).over(w)).alias("value_filled"),
+    )
+
+
+Q_WINDOW_BACKFILL_SQL = """
+WITH m AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type <> 'error' THEN value END AS masked
+  FROM events
+)
+SELECT event_id, user_id,
+  coalesce(masked, first_value(masked IGNORE NULLS) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS value_filled
+FROM m
+"""
+
+
+def q_anti_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15 shape: left anti join — events of users who never purchased."""
+    ev = _t(spark, sf_dir, "events")
+    done = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return (
+        ev.join(done, "user_id", "left_anti")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+Q_ANTI_JOIN_RESUME_SQL = """
+SELECT user_id, count(*)::BIGINT AS n_events FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM events p
+                  WHERE p.event_type = 'purchase' AND p.user_id = e.user_id)
+GROUP BY user_id
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 shape: left semi join — orders having any high-quantity line."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+Q_SEMI_JOIN_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+"""
+
+
+def q_incremental_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 shape: time-boxed increment (predicate on the partition-time column)
+    + tumbling daily rollup."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-03").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-06").cast("timestamp_ntz"))
+    )
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"))
+    )
+
+
+Q_INCREMENTAL_WINDOW_SQL = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       count(*)::BIGINT AS n_events,
+       sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-06'
+GROUP BY 1, 2
+"""
+
+
+def q_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort+limit top-k with a deterministic tiebreak."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("total_cents"))
+        .orderBy(F.col("total_cents").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+Q_TOPK_USERS_SQL = """
+SELECT user_id, sum(round(value * 100)::BIGINT)::BIGINT AS total_cents
+FROM events GROUP BY user_id
+ORDER BY total_cents DESC, user_id LIMIT 10
+"""
+
+
+def q_merge_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 shape: MERGE/upsert — later event wins per (user_id, event_type)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )
+
+
+Q_MERGE_LAST_WINS_SQL = """
+SELECT user_id, event_type, event_id, value FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# P7 — SQL-expressible language-marker heuristic (documents)
+# --------------------------------------------------------------------------
+
+_LANGS_SQL = ("en", "fr", "de", "es")
+
+
+def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword argmax (deterministic tie-break: hit count desc, lang
+    asc; zero hits -> 'und').  The production trigram model lives in
+    functions/langid.py; this is its SQL-checkable little sibling."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = Q.tokens(F.col("text"))
+    docs = docs.withColumn("_toks", toks)
+
+    def in_sw(lg: str):
+        # single-arg lambda (F.filter dispatches on lambda arity)
+        return lambda t: F.lower(t).isin(*STOPWORDS[lg])
+
+    hits = {
+        lg: F.size(F.filter(F.col("_toks"), in_sw(lg))) for lg in _LANGS_SQL
+    }
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lg in _LANGS_SQL:  # iterate asc; strict > keeps the earlier lang on tie
+        cond = hits[lg] > best_hits
+        best = F.when(cond, F.lit(lg)).otherwise(best)
+        best_hits = F.when(cond, hits[lg]).otherwise(best_hits)
+    return docs.select("doc_id", best.alias("lang_pred"),
+                       best_hits.cast("bigint").alias("marker_hits"))
+
+
+def _langid_sql() -> str:
+    hit_exprs = ", ".join(
+        "len(list_filter(toks, x -> lower(x) IN ({})))::BIGINT AS h_{}".format(
+            ",".join(f"'{w}'" for w in STOPWORDS[lg]), lg)
+        for lg in _LANGS_SQL
+    )
+    # replicate the Spark fold procedurally via nested CASE
+    fold_lang, fold_hits = "'und'", "0"
+    for lg in _LANGS_SQL:
+        fold_lang = f"CASE WHEN h_{lg} > {fold_hits} THEN '{lg}' ELSE {fold_lang} END"
+        fold_hits = f"CASE WHEN h_{lg} > {fold_hits} THEN h_{lg} ELSE {fold_hits} END"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, {hit_exprs} FROM t)
+SELECT doc_id, {fold_lang} AS lang_pred, ({fold_hits})::BIGINT AS marker_hits
+FROM h
+"""
+
+
+Q_LANGID_HEURISTIC_SQL = _langid_sql()
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "q_text_stats": q_text_stats,
+    "q_quality_decision": q_quality_decision,
+    "q_lang_report": q_lang_report,
+    "q_token_count": q_token_count,
+    "q_fingerprint": q_fingerprint,
+    "q_scrub_pii": q_scrub_pii,
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_first_wins": q_dedup_first_wins,
+    "q_jaccard_pairs": q_jaccard_pairs,
+    "q_minhash_pairs": q_minhash_pairs,
+    "q_simhash": q_simhash,
+    "q_cosine_topk": q_cosine_topk,
+    "q_ann_lsh": q_ann_lsh,
+    "q_embedding_neardup": q_embedding_neardup,
+    "q_pricing_report": q_pricing_report,
+    "q_revenue_by_nation": q_revenue_by_nation,
+    "q_window_backfill": q_window_backfill,
+    "q_anti_join_resume": q_anti_join_resume,
+    "q_semi_join": q_semi_join,
+    "q_incremental_window": q_incremental_window,
+    "q_topk_users": q_topk_users,
+    "q_merge_last_wins": q_merge_last_wins,
+    "q_langid_heuristic": q_langid_heuristic,
+}
+
+ORACLES: dict[str, str] = {
+    "q_text_stats": Q_TEXT_STATS_SQL,
+    "q_quality_decision": Q_QUALITY_DECISION_SQL,
+    "q_lang_report": Q_LANG_REPORT_SQL,
+    "q_token_count": Q_TOKEN_COUNT_SQL,
+    "q_fingerprint": Q_FINGERPRINT_SQL,
+    "q_scrub_pii": Q_SCRUB_PII_SQL,
+    "q_dedup_exact": Q_DEDUP_EXACT_SQL,
+    "q_dedup_first_wins": Q_DEDUP_FIRST_WINS_SQL,
+    "q_jaccard_pairs": Q_JACCARD_PAIRS_SQL,
+    "q_minhash_pairs": Q_MINHASH_PAIRS_SQL,
+    "q_simhash": Q_SIMHASH_SQL,
+    "q_cosine_topk": Q_COSINE_TOPK_SQL,
+    "q_ann_lsh": Q_ANN_LSH_SQL,
+    "q_embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
+    "q_pricing_report": Q_PRICING_REPORT_SQL,
+    "q_revenue_by_nation": Q_REVENUE_BY_NATION_SQL,
+    "q_window_backfill": Q_WINDOW_BACKFILL_SQL,
+    "q_anti_join_resume": Q_ANTI_JOIN_RESUME_SQL,
+    "q_semi_join": Q_SEMI_JOIN_SQL,
+    "q_incremental_window": Q_INCREMENTAL_WINDOW_SQL,
+    "q_topk_users": Q_TOPK_USERS_SQL,
+    "q_merge_last_wins": Q_MERGE_LAST_WINS_SQL,
+    "q_langid_heuristic": Q_LANGID_HEURISTIC_SQL,
+}
+
+
+# queries with no SQL-expressible oracle (model UDFs / full pipeline):
+# the driver records a rows-only check for these.
+DOCS_PROFILE = None  # built lazily to avoid import cycles
+
+
+def _docs_profile():
+    """Rule profile calibrated to the testdata documents domain (synthetic
+    jargon text: ppl p50≈24.5, lang_conf p50≈0.2 under the web-prose models —
+    the same per-domain threshold dispatch the reference does per instrument,
+    instruments.py:3578-3655)."""
+    global DOCS_PROFILE
+    if DOCS_PROFILE is None:
+        from ..config import RuleProfile
+        DOCS_PROFILE = RuleProfile(
+            version="2026.08.1-docs",
+            min_words=20,
+            max_perplexity=30.0,
+            min_lang_conf=0.0,   # disabled: jargon fits no natural-language model
+        )
+    return DOCS_PROFILE
+
+
+def q_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full quality-filter pipeline over the documents table (pre-extracted
+    text -> passthrough branch), minus dedup (covered by q_minhash_pairs)."""
+    from .pipeline import build_pipeline
+
+    docs = _t_wide(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        (F.lit("2025-06-01").cast("timestamp_ntz")
+         + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    return build_pipeline(docs, spark, profile=_docs_profile(),
+                          dedupe=False, has_html=False)
+
+
+NO_ORACLE_QUERIES: dict[str, QueryFn] = {
+    "q_pipeline_flagship": q_pipeline_flagship,
+}

@@ -50,18 +50,32 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
                    ppl_model: BigramLM | None = None,
                    id_col: str = "url",
                    order_col: str = "warc_ts",
-                   has_html: bool = True) -> DataFrame:
+                   has_html: bool = True,
+                   fused: bool = True) -> DataFrame:
     """Pure plan builder: pages -> decisions.  Imported by batch main,
     streaming foreachBatch, pytest, and the driver entry — the same plan runs
-    everywhere (the reference's SCRAPE-mode purity, SURVEY.md §3.3)."""
+    everywhere (the reference's SCRAPE-mode purity, SURVEY.md §3.3).
+
+    ``fused=True`` (default) runs extraction + langid + perplexity in ONE
+    Arrow pass (single-visit fusion, composable.py:90-98 analogue); the
+    unfused path keeps the three stages separate and is result-identical
+    (tests assert both).
+    """
     df = pages
-    if has_html:
-        df = with_extracted_text(df)
+    if fused:
+        from ..functions.fused import with_extract_and_scores
+
+        df = with_extract_and_scores(df, spark, langid_model, ppl_model,
+                                     has_html=has_html)
+        df = with_quality_stats(df, text_col="extracted_text", lang_col="lang_pred")
     else:
-        df = with_extracted_text_passthrough(df)
-    df = with_langid(df, spark, model=langid_model)
-    df = with_quality_stats(df, text_col="extracted_text", lang_col="lang_pred")
-    df = with_perplexity(df, spark, model=ppl_model)
+        if has_html:
+            df = with_extracted_text(df)
+        else:
+            df = with_extracted_text_passthrough(df)
+        df = with_langid(df, spark, model=langid_model)
+        df = with_quality_stats(df, text_col="extracted_text", lang_col="lang_pred")
+        df = with_perplexity(df, spark, model=ppl_model)
     df = with_scrub(df)
 
     near_dup_col = None
@@ -108,12 +122,22 @@ def run_batch(spark: SparkSession, pages: DataFrame, out_dir: str,
     if work.isEmpty():
         return {"processed": 0, "partitions": 0}
 
+    from pyspark.sql import Observation
+
     decisions = build_pipeline(work, spark, profile, dedupe=dedupe)
     decisions = decisions.withColumn(
         "p_day", F.date_format(F.col("warc_ts"), "yyyy-MM-dd")
     )
+    # free metrics riding the write action (A6) — no second pass over the data
+    obs = Observation("pipeline_metrics")
+    decisions = decisions.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
+    )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     decisions.write.mode("overwrite").partitionBy("p_day").parquet(decisions_path)
+    metrics = obs.get
 
     written = spark.read.parquet(decisions_path)
     done_days = [r["p_day"] for r in work.select(
@@ -121,9 +145,5 @@ def run_batch(spark: SparkSession, pages: DataFrame, out_dir: str,
     fresh = written.filter(F.col("p_day").isin(done_days))
     lin = lineage_rows(fresh, profile, snapshot_id)
     write_lineage(lin, lineage_path)
-    stats = fresh.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
-    ).collect()[0]
-    return {"processed": stats["n"], "kept": stats["kept"],
+    return {"processed": metrics["n"], "kept": metrics["kept"],
             "partitions": len(done_days)}

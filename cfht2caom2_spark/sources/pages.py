@@ -142,7 +142,9 @@ def gen_row(i: int, seed: int = 42) -> dict:
         text = " ".join(toks); lang = "en"
     elif cls <= 88:
         # near-dup cluster: same century-base text, light perturbation per member
-        base_rng = random.Random((seed << 34) ^ (century * 0xC2B2AE3D27D4EB4F & 0xFFFFFFFFFFFF))
+        base_rng = random.Random(
+            (seed << 34) ^ ((0x5851F42D + century * 0xC2B2AE3D27D4EB4F) & 0xFFFFFFFFFFFF)
+        )
         base = _sample_text(base_rng, "en", 150)
         member = cls - 86
         if member == 1:

@@ -1,0 +1,145 @@
+"""Operator-level tests: dedup family, similarity, backfill, merge.
+
+The analogue of the reference's per-operator unit layer (storage-name parsing
+tests, /root/reference/cfht2caom2/tests/test_storage_name.py) on tiny frames.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cfht2caom2_spark.operators.backfill import (backfill_from_group,
+                                                 first_wins, last_wins_merge)
+from cfht2caom2_spark.operators.dedup import (connected_components_small,
+                                              exact_dedup,
+                                              minhash_dedup_losers, simhash,
+                                              word_shingles)
+from cfht2caom2_spark.operators.similarity import cosine_topk, lsh_ann
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs into the "
+            "quiet forest where the old river bends toward the small village "
+            "every morning people gather near the stone bridge")
+    rows = [
+        (1, base, 1),
+        (2, base + " with an extra footer line", 2),          # near-dup of 1
+        (3, "prepended intro " + base, 3),                    # near-dup of 1
+        (4, "completely different text about databases and query engines "
+            "partitioning shuffles joins aggregates windows and sorts in "
+            "columnar engines with vectorized execution and codegen", 4),
+        (5, base, 5),                                          # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, ord bigint")
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs, "text", ["ord"])
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 3, 4]
+
+
+def test_minhash_losers(docs):
+    losers = minhash_dedup_losers(docs, "doc_id", "text", "ord",
+                                  threshold=0.7)
+    got = sorted(r["loser_id"] for r in losers.collect())
+    assert got == [2, 3, 5]  # 1 wins (lowest ord); 4 unrelated
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.range(1).select(F.lit("one two").alias("t"))
+    sh = df.select(word_shingles(F.col("t"), 3).alias("s")).collect()[0]["s"]
+    assert sh == ["one two"]
+
+
+def test_simhash_similar_texts_close(docs):
+    out = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", simhash(F.col("text"), 16).alias("sh")).collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert out[1] == out[5]                      # identical text
+    assert hamming(out[1], out[2]) <= 4          # near-dup: close
+    assert hamming(out[1], out[4]) >= 5          # unrelated: far
+
+def test_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint")
+    comp = {r["node"]: r["component"]
+            for r in connected_components_small(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    return (spark.createDataFrame(rows, "vec_id bigint, embedding array<float>"),
+            vecs)
+
+
+def test_cosine_topk_matches_numpy(emb):
+    df, vecs = emb
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=5).collect()
+    got = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    v = vecs.astype("float64")
+    sims = (v @ v[0]) / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    sims[0] = -np.inf
+    want = list(np.argsort(-sims)[:5])
+    assert got == want
+
+
+def test_lsh_ann_subset_of_bucket(emb):
+    df, vecs = emb
+    out = lsh_ann(df, df.filter(F.col("vec_id") == 0), k=5, n_planes=4).collect()
+    assert out  # some candidates share the bucket
+    # every returned neighbor must share the sign-bucket of query 0
+    bucket0 = sum((1 << i) for i in range(4) if vecs[0][i] > 0)
+    for r in out:
+        b = sum((1 << i) for i in range(4) if vecs[r["vec_id"]][i] > 0)
+        assert b == bucket0
+
+
+def test_backfill_from_group(spark):
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, "x"), (1, 3, None), (2, 1, None)],
+        "grp bigint, ord bigint, v string")
+    out = backfill_from_group(df, ["grp"], ["ord"], ["v"])
+    got = {(r["grp"], r["ord"]): r["v_filled"] for r in out.collect()}
+    assert got[(1, 1)] == "x" and got[(1, 3)] == "x"
+    assert got[(2, 1)] is None
+
+
+def test_first_wins_and_merge(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (2, 1, "c")], "k bigint, v bigint, p string")
+    fw = first_wins(df, ["k"], ["v"])
+    assert {(r["k"], r["p"]) for r in fw.collect()} == {(1, "a"), (2, "c")}
+    old = spark.createDataFrame([(1, 1, "old")], "k bigint, v bigint, p string")
+    new = spark.createDataFrame([(1, 2, "new"), (3, 1, "n3")],
+                                "k bigint, v bigint, p string")
+    merged = last_wins_merge(old, new, ["k"], "v")
+    assert {(r["k"], r["p"]) for r in merged.collect()} == {(1, "new"), (3, "n3")}
+
+
+def test_host_lang_consensus_backfill(spark):
+    from cfht2caom2_spark.operators.hostnorm import (host_lang_consensus,
+                                                     with_host_lang_backfill)
+    rows = [
+        ("https://a.com/1", "fr", 0.9), ("https://a.com/2", "fr", 0.8),
+        ("https://a.com/3", "en", 0.7), ("https://a.com/4", "de", 0.1),
+        ("https://b.com/1", "es", 0.05),  # no confident votes on b.com
+    ]
+    df = spark.createDataFrame(rows, "url string, lang_pred string, lang_conf double")
+    cons = {r["host"]: (r["consensus_lang"], r["n_votes"])
+            for r in host_lang_consensus(df, min_conf=0.5).collect()}
+    assert cons["a.com"] == ("fr", 2)
+    assert "b.com" not in cons
+    out = {r["url"]: (r["lang_final"], r["lang_source"])
+           for r in with_host_lang_backfill(df, min_conf=0.5).collect()}
+    assert out["https://a.com/4"] == ("fr", "host_consensus")   # adopted
+    assert out["https://a.com/3"] == ("en", "model")            # confident, kept
+    assert out["https://b.com/1"] == ("es", "model")            # no consensus

@@ -1,0 +1,129 @@
+"""Golden-output gate: the Spark pipeline vs the independent Python labeler.
+
+The analogue of the reference's backbone test
+(/root/reference/cfht2caom2/tests/test_caom_gen_visit.py:101-209): every
+fixture row gets an independently derived expected record; the engine must
+match — keep/drop F1 >= 0.99, byte-identical extraction sha256, scrubbed text
+exact (north_rule gates).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cfht2caom2_spark.plans.pipeline import build_pipeline
+from cfht2caom2_spark.sources.pages import synth_pages
+
+from .reference_impl import reference_labels
+
+N_ROWS = 600
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return reference_labels(N_ROWS)
+
+
+@pytest.fixture(scope="module")
+def actual(spark):
+    df = build_pipeline(synth_pages(spark, N_ROWS), spark)
+    return {
+        (r["url"], r["warc_ts"]): r
+        for r in df.collect()
+    }
+
+
+def test_row_count(actual):
+    assert len(actual) == N_ROWS  # (url, warc_ts) unique incl. re-arrivals
+
+
+def test_extraction_byte_identical(actual, golden):
+    mismatches = [
+        (url, ts)
+        for (url, ts), row in actual.items()
+        if row["extracted_sha256"] != golden[url]["sha256"]
+    ]
+    assert mismatches == []
+
+
+def test_keep_f1_gate(actual, golden):
+    tp = fp = fn = tn = 0
+    diffs = []
+    for (url, ts), row in actual.items():
+        want = golden[url]["keep"]
+        got = row["keep"]
+        if want and got:
+            tp += 1
+        elif not want and not got:
+            tn += 1
+        elif got and not want:
+            fp += 1
+            diffs.append((url, "fp", sorted(golden[url]["rules"]), row["rules"]))
+        else:
+            fn += 1
+            diffs.append((url, "fn", sorted(golden[url]["rules"]), row["rules"]))
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+    assert f1 >= 0.99, (f1, diffs[:10])
+
+
+def test_rules_attribution_exact(actual, golden):
+    """Stronger than F1: rule sets must match exactly on every row."""
+    diffs = [
+        (url, sorted(golden[url]["rules"]), row["rules"])
+        for (url, ts), row in actual.items()
+        if set(row["rules"]) != golden[url]["rules"]
+    ]
+    assert len(diffs) <= N_ROWS * 0.01, diffs[:10]
+
+
+def test_scrubbed_text_exact(actual, golden):
+    diffs = []
+    for (url, ts), row in actual.items():
+        want = golden[url]["scrubbed"] if golden[url]["keep"] else None
+        if row["scrubbed_text"] != want:
+            diffs.append((url, want, row["scrubbed_text"]))
+    assert diffs == [], diffs[:5]
+
+
+def test_pii_actually_scrubbed(actual):
+    kept_texts = [r["scrubbed_text"] for r in actual.values() if r["keep"]]
+    assert kept_texts, "no kept rows?"
+    import re
+
+    for t in kept_texts:
+        assert not re.search(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", t)
+        assert "<EMAIL>" in t or "@" not in t
+
+
+def test_near_dup_clusters_resolved(actual):
+    """Per century, rows 86-88 are a 3-member near-dup cluster: exactly one
+    survivor (the earliest by (warc_ts, url))."""
+    import re
+
+    clusters: dict[int, list] = {}
+    for (url, ts), row in actual.items():
+        m = re.search(r"/p/(\d{9})", url)
+        i = int(m.group(1))
+        if i % 100 in (86, 87, 88):
+            clusters.setdefault(i // 100, []).append(row)
+    assert clusters
+    for century, rows in clusters.items():
+        dups = [r for r in rows if "near_duplicate" in r["rules"]]
+        assert len(dups) == len(rows) - 1, (century, [r["rules"] for r in rows])
+
+
+def test_fused_equals_unfused(spark):
+    """The single-Arrow-pass fusion must be result-identical to the staged
+    path (same kernels, different plumbing)."""
+    pages = synth_pages(spark, 200)
+    a = build_pipeline(pages, spark, dedupe=False, fused=True)
+    b = build_pipeline(pages, spark, dedupe=False, fused=False)
+    rows_a = {(r["url"], r["warc_ts"]): (r["extracted_sha256"], r["keep"],
+                                          tuple(r["rules"]), r["ppl"])
+              for r in a.collect()}
+    rows_b = {(r["url"], r["warc_ts"]): (r["extracted_sha256"], r["keep"],
+                                          tuple(r["rules"]), r["ppl"])
+              for r in b.collect()}
+    assert rows_a == rows_b

@@ -1,0 +1,85 @@
+"""Heuristic stats + scrub chain vs hand-computed expectations on tiny frames.
+
+The analogue of the reference's getter guards (elevation 0-90 range check,
+instruments.py:385-393; humidity guard :439-444): each stat pinned on inputs
+designed to hit its edge.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cfht2caom2_spark.config import DEFAULT_PROFILE
+from cfht2caom2_spark.functions.quality import with_quality_stats
+from cfht2caom2_spark.functions.scrub import with_scrub
+
+
+@pytest.fixture(scope="module")
+def stats(spark):
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "aaa bbb### ccc#@$ ddd", "en"),
+        (3, "line one\nline one\nline one\nother", "en"),
+        (4, "12345 67890 11 22 33", "en"),
+        (5, None, None),
+        (6, "的是了在和", "zh"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, extracted_text string, lang_pred string")
+    return {r["id"]: r for r in
+            with_quality_stats(df, lang_col="lang_pred").collect()}
+
+
+def test_n_words_and_mean_len(stats):
+    assert stats[1]["n_words"] == 6
+    assert stats[1]["mean_word_len"] == pytest.approx(17 / 6)
+
+
+def test_symbol_ratio(stats):
+    # 6 symbol chars of 21 total in row 2
+    assert stats[2]["symbol_ratio"] == pytest.approx(6 / 21)
+
+
+def test_stopword_frac(stats):
+    assert stats[1]["stopword_frac"] == pytest.approx(3 / 6)  # the, on, the
+
+
+def test_repeated_lines(stats):
+    assert stats[3]["repeated_line_frac"] == pytest.approx(1 - 2 / 4)
+
+
+def test_alpha_frac_numeric(stats):
+    assert stats[4]["alpha_word_frac"] == 0.0
+
+
+def test_null_text_stats_are_null(stats):
+    assert stats[5]["n_words"] is None
+
+
+def test_zh_char_tokens(stats):
+    assert stats[6]["n_words"] == 5
+    assert stats[6]["stopword_frac"] == 1.0  # all five are zh stop chars
+
+
+def test_scrub_chain(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com call +1 555-123-4567 ssn 123-45-6789 ip 10.0.0.1 ok")],
+        "id bigint, extracted_text string")
+    row = with_scrub(df).collect()[0]
+    assert row["scrubbed_text"] == \
+        "mail <EMAIL> call <PHONE> ssn <SSN> ip <IP> ok"
+    assert row["scrub_rules"] == ["pii_email", "pii_ipv4", "pii_phone", "pii_ssn"]
+
+
+def test_scrub_clean_text_untouched(spark):
+    df = spark.createDataFrame([(1, "nothing sensitive here")],
+                               "id bigint, extracted_text string")
+    row = with_scrub(df).collect()[0]
+    assert row["scrubbed_text"] == "nothing sensitive here"
+    assert row["scrub_rules"] == []
+
+
+def test_rule_versions_complete():
+    from cfht2caom2_spark.config import RULE_IDS
+    v = DEFAULT_PROFILE.rule_versions()
+    assert set(v) == set(RULE_IDS)
