@@ -66,9 +66,13 @@ class RuleProfile:
     min_lang_conf: float = 0.30          # rule: lang_conf      (CCNet fastText gate)
     allowed_langs: tuple[str, ...] = ("en", "fr", "de", "es", "zh")
     max_toxicity_hits: int = 0           # rule: toxicity
-    # MinHash dedup parameters (bands × rows_per_band permutations)
+    # MinHash dedup parameters (bands × rows_per_band permutations).
+    # rows_per_band=4 makes band collisions P = J^4: boilerplate-only overlap
+    # (J~0.03 across template-sharing pages) yields ~0 false candidates, while
+    # true near-dups (J>=0.8) keep ~0.99 recall over 8 bands — the banding
+    # precision dial that keeps the verify join linear at crawl scale.
     minhash_bands: int = 8
-    minhash_rows_per_band: int = 2
+    minhash_rows_per_band: int = 4
     shingle_size: int = 3                # word 3-shingles
     dedup_jaccard: float = 0.8
 

@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from ..operators.dedup import MERSENNE_31, _perm_params
 from .extraction import extract_html, sha256_text
 from .langid import TrigramLangID
 from .perplexity import BigramLM
@@ -36,17 +37,56 @@ _OUT_FIELDS = [
     T.StructField("ppl", T.DoubleType()),
 ]
 
+_SIG_FIELD = T.StructField("minhash_sig", T.ArrayType(T.LongType()))
+
+
+def minhash_sig_py(text: str | None, A, B, k: int = 3):
+    """numpy-vectorized MinHash of word k-shingles — semantics identical to
+    operators.dedup.minhash_signature with shingle_hash_fast (crc32 base
+    hash), pinned by tests.  Runs here because Spark's higher-order array
+    functions are interpreted, not codegen'd: a JVM-side fold costs ~2 ms/doc
+    and dominates the whole pipeline, while one (n_shingles x n_perms) numpy
+    broadcast is ~30 us."""
+    import zlib
+
+    import numpy as np
+
+    if not text:
+        return None
+    toks = text.lower().split()
+    if not toks:
+        return None
+    if len(toks) >= k:
+        shingles = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+    else:
+        shingles = {" ".join(toks)}
+    h = np.fromiter((zlib.crc32(s.encode("utf-8")) % MERSENNE_31
+                     for s in shingles), dtype=np.int64, count=len(shingles))
+    sig = (h[:, None] * A + B) % MERSENNE_31
+    return sig.min(axis=0).tolist()
+
 
 def with_extract_and_scores(df: DataFrame, spark: SparkSession,
                             langid_model: TrigramLangID | None = None,
                             ppl_model: BigramLM | None = None,
                             html_col: str = "html", text_col: str = "text",
-                            has_html: bool = True) -> DataFrame:
-    """Append extraction + all model scores in a single Arrow pass."""
+                            has_html: bool = True,
+                            minhash_perms: int = 0,
+                            shingle_k: int = 3) -> DataFrame:
+    """Append extraction + all model scores (+ optional MinHash signature)
+    in a single Arrow pass."""
     bc = spark.sparkContext.broadcast(
         (langid_model or TrigramLangID(), ppl_model or BigramLM())
     )
-    schema = T.StructType(list(df.schema.fields) + _OUT_FIELDS)
+    fields = list(df.schema.fields) + _OUT_FIELDS
+    if minhash_perms:
+        import numpy as np
+
+        perms = _perm_params(minhash_perms)
+        A = np.array([a for a, _ in perms], dtype=np.int64)
+        B = np.array([b for _, b in perms], dtype=np.int64)
+        fields = fields + [_SIG_FIELD]
+    schema = T.StructType(fields)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lid, lm = bc.value  # one deserialize per task
@@ -71,6 +111,10 @@ def with_extract_and_scores(df: DataFrame, spark: SparkSession,
             out["lang_pred"] = langs
             out["lang_conf"] = pd.Series(confs, index=pdf.index, dtype="float64")
             out["ppl"] = pd.Series(ppls, index=pdf.index, dtype="float64")
+            if minhash_perms:
+                out["minhash_sig"] = pd.Series(
+                    [minhash_sig_py(t, A, B, shingle_k) for t in texts],
+                    index=pdf.index, dtype=object)
             yield out
 
     return df.mapInPandas(run, schema=schema)

@@ -52,13 +52,20 @@ def exact_dedup(df: DataFrame, text_col: str, order_cols: list[str]) -> DataFram
 # --- shingles / minhash --------------------------------------------------------
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-shingles of whitespace-normalized lowercase text."""
+    """Distinct word k-shingles of whitespace-normalized lowercase text.
+
+    Built from k shifted slices zipped together — strictly linear.  (The
+    index-lambda formulation ``transform(sequence(...), i ->
+    element_at(toks, i+j))`` re-evaluates the inline token expression per
+    element: O(n^2) per document, a real 50x slowdown at 200+ tokens.)
+    """
     toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != F.lit(""))
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", *[
-        F.element_at(toks, (i + j).cast("int")) for j in range(k)
-    ]))
+    win = F.greatest(n - (k - 1), F.lit(1))
+    sh = F.slice(toks, 1, win)
+    for j in range(1, k):
+        sh = F.zip_with(sh, F.slice(toks, j + 1, win),
+                        lambda a, b: F.concat_ws(" ", a, b))
     # shorter-than-k docs: the whole text is the single shingle
     return F.array_distinct(
         F.when(n >= k, sh).otherwise(F.array(F.array_join(toks, " ")))
@@ -66,10 +73,19 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 
 
 def shingle_hash(shingle: Column) -> Column:
-    """Engine-portable 60-bit hash: first 15 hex chars of md5, reduced mod
-    2^31-1.  (Identical expression exists in DuckDB — used by the oracle.)"""
+    """Oracle-portable hash: first 15 hex chars of md5, reduced mod 2^31-1.
+    (Identical expression exists in DuckDB — used by the oracle queries.)"""
     h = F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("bigint")
     return h % MERSENNE_31
+
+
+def shingle_hash_fast(shingle: Column) -> Column:
+    """Production hash: CRC32 (JVM intrinsic, ~10x cheaper than md5 hex +
+    BigInteger conv, and allocation-light — md5 hashing was the GC-bound
+    serial fraction that capped dedup scaling).  Reproducible outside the
+    JVM via ``zlib.crc32`` (same polynomial), which the golden reference
+    labeler uses."""
+    return F.crc32(shingle.cast("binary")) % MERSENNE_31
 
 
 def _perm_params(num_perms: int) -> list[tuple[int, int]]:
@@ -79,7 +95,8 @@ def _perm_params(num_perms: int) -> list[tuple[int, int]]:
             for i in range(num_perms)]
 
 
-def minhash_signature(text: Column, num_perms: int, k: int = 3) -> Column:
+def minhash_signature(text: Column, num_perms: int, k: int = 3,
+                      hash_fn=None) -> Column:
     """array<bigint> of num_perms minhashes.
 
     ONE fold over the shingle-hash array computing all permutations per
@@ -88,7 +105,7 @@ def minhash_signature(text: Column, num_perms: int, k: int = 3) -> Column:
     separate array_min(transform(...)) expressions — re-inlines the shingle
     pipeline per permutation and is ~16x slower.)
     """
-    hashes = F.transform(word_shingles(text, k), shingle_hash)
+    hashes = F.transform(word_shingles(text, k), hash_fn or shingle_hash_fast)
     perms = _perm_params(num_perms)
     init = F.array_repeat(F.lit(MERSENNE_31).cast("bigint"), num_perms)
 
@@ -101,7 +118,7 @@ def minhash_signature(text: Column, num_perms: int, k: int = 3) -> Column:
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                         bands: int = 8, rows_per_band: int = 2,
-                        k: int = 3) -> DataFrame:
+                        k: int = 3, hash_fn=None) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b) via banded minhash buckets.
 
     One explode (rows -> rows×bands) + one self-join on (band, band_key).
@@ -111,7 +128,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     num_perms = bands * rows_per_band
     sig = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text_col), num_perms, k).alias("_sig"),
+        minhash_signature(F.col(text_col), num_perms, k, hash_fn).alias("_sig"),
     )
     banded = sig.select(
         "_id",
@@ -136,14 +153,28 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def jaccard(df_pairs: DataFrame, df: DataFrame, id_col: str, text_col: str,
-            k: int = 3) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs (verification stage)."""
+            k: int = 3, carry_cols: tuple = ()) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (verification stage).
+
+    ``carry_cols``: extra df columns carried onto the pair as <col>_a/_b —
+    lets callers fold e.g. the ordering key into this join instead of paying
+    two more joins later.
+    """
     sh = df.select(F.col(id_col).alias("_jid"),
-                   word_shingles(F.col(text_col), k).alias("_sh"))
+                   word_shingles(F.col(text_col), k).alias("_sh"),
+                   *[F.col(c) for c in carry_cols])
+
+    def side(suffix):
+        s = sh.withColumnRenamed("_jid", f"id_{suffix}") \
+              .withColumnRenamed("_sh", f"_sh_{suffix}")
+        for c in carry_cols:
+            s = s.withColumnRenamed(c, f"{c}_{suffix}")
+        return s
+
     out = (
         df_pairs
-        .join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
-        .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+        .join(side("a"), "id_a")
+        .join(side("b"), "id_b")
         .withColumn("_inter", F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double"))
         .withColumn("_union", F.size(F.array_union("_sh_a", "_sh_b")).cast("double"))
         .withColumn("jaccard", F.col("_inter") / F.greatest(F.col("_union"), F.lit(1.0)))
@@ -154,7 +185,8 @@ def jaccard(df_pairs: DataFrame, df: DataFrame, id_col: str, text_col: str,
 
 def minhash_dedup_losers(df: DataFrame, id_col: str, text_col: str,
                          order_col: str, bands: int = 8, rows_per_band: int = 2,
-                         k: int = 3, threshold: float = 0.8) -> DataFrame:
+                         k: int = 3, threshold: float = 0.8,
+                         hash_fn=None) -> DataFrame:
     """ids to drop: near-dup (verified Jaccard >= threshold) of an earlier doc.
 
     'Earlier' = smaller (order_col, id_col); the winner of every verified pair
@@ -173,19 +205,21 @@ def minhash_dedup_losers(df: DataFrame, id_col: str, text_col: str,
         keyed.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1).drop("_rn")
     )
-    pairs = lsh_candidate_pairs(keyed, "_id", "_txt", bands, rows_per_band, k)
-    verified = jaccard(pairs, keyed, "_id", "_txt", k).filter(
+    # keyed feeds four scans (both band-join sides, both verify sides):
+    # persist so the upstream window/UDF work runs once
+    from pyspark import StorageLevel
+
+    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = lsh_candidate_pairs(keyed, "_id", "_txt", bands, rows_per_band, k,
+                                hash_fn)
+    # the ordering key rides the verify join (no extra joins afterwards)
+    verified = jaccard(pairs, keyed, "_id", "_txt", k,
+                       carry_cols=("_ord",)).filter(
         F.col("jaccard") >= threshold
     )
-    ordv = keyed.select("_id", "_ord")
-    v = (
-        verified
-        .join(ordv.withColumnRenamed("_id", "id_a").withColumnRenamed("_ord", "ord_a"), "id_a")
-        .join(ordv.withColumnRenamed("_id", "id_b").withColumnRenamed("_ord", "ord_b"), "id_b")
-    )
-    losers = v.select(
-        F.when((F.col("ord_a") < F.col("ord_b"))
-               | ((F.col("ord_a") == F.col("ord_b")) & (F.col("id_a") < F.col("id_b"))),
+    losers = verified.select(
+        F.when((F.col("_ord_a") < F.col("_ord_b"))
+               | ((F.col("_ord_a") == F.col("_ord_b")) & (F.col("id_a") < F.col("id_b"))),
                F.col("id_b")).otherwise(F.col("id_a")).alias("loser_id")
     ).distinct()
     return losers
@@ -201,20 +235,31 @@ def simhash(text: Column, bits: int = 16) -> Column:
         F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != F.lit(""))
     )
     hashes = F.transform(toks, shingle_hash)
-    # bits is a Python int, so unroll per-bit folds at plan-build time
-    # (shiftright takes a literal shift amount)
-    def bit_fold(j: int):
-        # two-arg lambda (higher-order fns dispatch on lambda arity)
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
+    # ONE fold over the hash array accumulating all per-bit counters (per-bit
+    # separate folds would re-evaluate the token/md5 pipeline `bits` times)
+    zeros = F.array_repeat(F.lit(0).cast("bigint"), bits)
 
-    out = F.lit(0).cast("bigint")
-    for j in range(bits):
-        bit_sum = F.aggregate(hashes, F.lit(0).cast("bigint"), bit_fold(j))
-        out = out + F.when(bit_sum > 0, F.lit(1 << j).cast("bigint")) \
-            .otherwise(F.lit(0).cast("bigint"))
-    return out
+    def step(acc: Column, h: Column) -> Column:
+        contrib = F.array(*[
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1)).cast("bigint")
+            for j in range(bits)
+        ])
+        return F.zip_with(acc, contrib, lambda a, b: a + b)
+
+    counts = F.aggregate(hashes, zeros, step)
+    # assemble the bit pattern in ONE weighted traversal of counts (indexing
+    # counts per bit would re-evaluate the aggregate per reference)
+    return F.aggregate(
+        counts,
+        F.struct(F.lit(0).cast("bigint").alias("v"),
+                 F.lit(1).cast("bigint").alias("w")),
+        lambda acc, c: F.struct(
+            (acc["v"] + F.when(c > 0, acc["w"]).otherwise(F.lit(0).cast("bigint"))).alias("v"),
+            (acc["w"] * 2).alias("w"),
+        ),
+        lambda acc: acc["v"],
+    )
 
 
 # --- small-scale exact clustering ---------------------------------------------
@@ -246,3 +291,69 @@ def connected_components_small(pairs: DataFrame, max_iter: int = 20) -> DataFram
         if changed == 0:
             break
     return labels
+
+
+def minhash_losers_from_sig(df: DataFrame, id_col: str, order_col: str,
+                            sig_col: str = "minhash_sig",
+                            bands: int = 8, rows_per_band: int = 4,
+                            threshold: float = 0.8) -> DataFrame:
+    """Near-dup losers from PRECOMPUTED signatures (the production path).
+
+    Verification uses the standard MinHash similarity estimator — the
+    fraction of agreeing permutations (Broder 1997) — instead of an exact
+    shingle Jaccard: with 32 permutations the estimate has sigma ~0.07 at
+    J=0.8, the same verification large-scale dedup pipelines use, and it
+    touches only the 32-element signature arrays (no second pass over text).
+    The exact-Jaccard verifier remains available via minhash_dedup_losers.
+
+    Plan shape: slim (id, ord, sig) projection -> first-arrival-per-id window
+    -> band explode -> ONE self-join on (band, key) -> estimator filter ->
+    earliest-wins.  Only signatures shuffle; text never moves.
+    """
+    from pyspark import StorageLevel
+
+    num_perms = bands * rows_per_band
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(order_col).alias("_ord"),
+        F.col(sig_col).alias("_sig"),
+    ).filter(F.col("_sig").isNotNull())
+    w = Window.partitionBy("_id").orderBy("_ord")
+    keyed = (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1).drop("_rn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    banded = keyed.select(
+        "_id", "_ord", "_sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[
+                    F.element_at(F.col("_sig"), b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ]).alias("key"),
+            ) for b in range(bands)
+        ])).alias("bk"),
+    ).select("_id", "_ord", "_sig", "bk.band", "bk.key")
+    l, r = banded.alias("l"), banded.alias("r")
+    est = (
+        F.size(F.filter(
+            F.zip_with(F.col("l._sig"), F.col("r._sig"),
+                       lambda a, b: F.when(a == b, 1).otherwise(0)),
+            lambda x: x == 1,
+        )).cast("double") / F.lit(float(num_perms))
+    )
+    pairs = (
+        l.join(r, ["band", "key"])
+        .filter(F.col("l._id") < F.col("r._id"))
+        .filter(est >= threshold)
+        .select(
+            F.when((F.col("l._ord") < F.col("r._ord"))
+                   | ((F.col("l._ord") == F.col("r._ord"))
+                      & (F.col("l._id") < F.col("r._id"))),
+                   F.col("r._id")).otherwise(F.col("l._id")).alias("loser_id")
+        )
+        .distinct()
+    )
+    return pairs

@@ -74,6 +74,63 @@ def sign_bucket(vec: Column, n_planes: int = 8) -> Column:
     return out
 
 
+def ivf_topk_grouped(corpus: DataFrame, queries: DataFrame,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     k: int = 10, n_planes: int = 8) -> DataFrame:
+    """IVF-style ANN via grouped-map ``applyInPandas`` (SURVEY §2.9's
+    grouped-map row): corpus and queries are coarse-quantized into sign
+    buckets (the inverted-file cells); each cell's scoring runs as ONE numpy
+    matmul over the whole cell — the vectorized alternative to per-row
+    expression scoring when cells are large.
+
+    Returns (query_id, vec_id, rank, cos).  Same bucketing as ``lsh_ann`` so
+    results agree; the difference is the physical strategy: grouped Arrow
+    batches + BLAS instead of per-row JVM expressions.  At 10^9+ vectors the
+    per-cell matmul amortizes far better than expression evaluation.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        sign_bucket(F.col(vec_col), n_planes).alias("_bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"),
+        sign_bucket(F.col(vec_col), n_planes).alias("_bucket"),
+    )
+    cells = c.join(F.broadcast(q), "_bucket")  # rows: corpus vec × query in cell
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for query_id, grp in pdf.groupby("query_id", sort=True):
+            grp = grp[grp["vec_id"] != query_id]
+            if grp.empty:
+                continue
+            mat = np.stack(grp["_cv"].to_numpy()).astype("float64")
+            qv = np.asarray(grp["_qv"].iloc[0], dtype="float64")
+            cos = (mat @ qv) / np.maximum(
+                np.linalg.norm(mat, axis=1) * np.linalg.norm(qv), 1e-12)
+            order = np.lexsort((grp["vec_id"].to_numpy(), -cos))[:k]
+            out.append(pd.DataFrame({
+                "query_id": query_id,
+                "vec_id": grp["vec_id"].to_numpy()[order],
+                "rank": np.arange(1, len(order) + 1, dtype="int32"),
+                "cos": cos[order],
+            }))
+        if not out:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "vec_id": pd.Series(dtype="int64"),
+                                 "rank": pd.Series(dtype="int32"),
+                                 "cos": pd.Series(dtype="float64")})
+        return pd.concat(out, ignore_index=True)
+
+    return cells.groupBy("_bucket").applyInPandas(
+        score_cell,
+        schema="query_id bigint, vec_id bigint, rank int, cos double",
+    )
+
+
 def embedding_neardup_losers(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              threshold: float = 0.95,

@@ -28,7 +28,7 @@ from ..functions import tokens as TK
 from ..functions.scrub import scrubbed
 from ..operators import similarity as SIM
 from ..operators.dedup import (MERSENNE_31, _perm_params, lsh_candidate_pairs,
-                               simhash, word_shingles)
+                               shingle_hash, simhash, word_shingles)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -353,8 +353,10 @@ MH_BANDS, MH_ROWS = 8, 2
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t_wide(spark, sf_dir, "documents")
+    # oracle parity needs the md5-derived hash (DuckDB has no crc32)
     return lsh_candidate_pairs(docs, "doc_id", "text",
-                               bands=MH_BANDS, rows_per_band=MH_ROWS, k=3)
+                               bands=MH_BANDS, rows_per_band=MH_ROWS, k=3,
+                               hash_fn=shingle_hash)
 
 
 def _minhash_sql() -> str:

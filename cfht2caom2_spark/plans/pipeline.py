@@ -65,8 +65,14 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
     if fused:
         from ..functions.fused import with_extract_and_scores
 
-        df = with_extract_and_scores(df, spark, langid_model, ppl_model,
-                                     has_html=has_html)
+        df = with_extract_and_scores(
+            df, spark, langid_model, ppl_model, has_html=has_html,
+            # MinHash signatures ride the same Arrow pass (numpy-vectorized);
+            # the JVM then only bands + self-joins 32-long arrays
+            minhash_perms=(profile.minhash_bands * profile.minhash_rows_per_band
+                           if dedupe else 0),
+            shingle_k=profile.shingle_size,
+        )
         df = with_quality_stats(df, text_col="extracted_text", lang_col="lang_pred")
     else:
         if has_html:
@@ -78,21 +84,49 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
         df = with_perplexity(df, spark, model=ppl_model)
     df = with_scrub(df)
 
+    # raw payloads are consumed by extraction; everything downstream works on
+    # extracted_text — dropping them here keeps the cache and any shuffle
+    # payload-free (html is the fat column; column pruning can't help once
+    # we're past the scan)
+    df = df.drop(*[c for c in ("html", "text") if c in df.columns])
+
     near_dup_col = None
     if dedupe:
+        # the dedup branch fans the plan out (signatures, jaccard-verify x2,
+        # ordering, main branch): persist the post-UDF frame so extraction +
+        # model scoring execute ONCE, not once per subtree (the reference's
+        # headers-fetched-once discipline, cfht_name.py:525-548; SURVEY §4
+        # "cache the post-extraction DataFrame before fanning out")
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
         # the single wide dependency: banded minhash self-join over rows that
         # are still alive after the cheap rules (don't pay the shuffle for
         # rows that are dropped anyway — predicate-first ordering, SURVEY §4)
         candidates = df.filter(F.col("extracted_text").isNotNull())
-        losers = minhash_dedup_losers(
-            candidates, id_col=id_col, text_col="extracted_text",
-            order_col=order_col,
-            bands=profile.minhash_bands,
-            rows_per_band=profile.minhash_rows_per_band,
-            k=profile.shingle_size,
-            threshold=profile.dedup_jaccard,
-        ).withColumnRenamed("loser_id", id_col).withColumn("_is_dup", F.lit(True))
-        df = df.join(losers, on=id_col, how="left").withColumn(
+        if "minhash_sig" in df.columns:
+            from ..operators.dedup import minhash_losers_from_sig
+
+            losers = minhash_losers_from_sig(
+                candidates, id_col=id_col, order_col=order_col,
+                bands=profile.minhash_bands,
+                rows_per_band=profile.minhash_rows_per_band,
+                threshold=profile.dedup_jaccard,
+            )
+        else:
+            losers = minhash_dedup_losers(
+                candidates, id_col=id_col, text_col="extracted_text",
+                order_col=order_col,
+                bands=profile.minhash_bands,
+                rows_per_band=profile.minhash_rows_per_band,
+                k=profile.shingle_size,
+                threshold=profile.dedup_jaccard,
+            )
+        losers = losers.withColumnRenamed("loser_id", id_col) \
+            .withColumn("_is_dup", F.lit(True))
+        # losers is tiny (near-dup victims only): broadcast it so the main
+        # frame never shuffles for this join
+        df = df.join(F.broadcast(losers), on=id_col, how="left").withColumn(
             "_near_dup", F.coalesce(F.col("_is_dup"), F.lit(False))
         ).drop("_is_dup")
         near_dup_col = "_near_dup"

@@ -41,7 +41,9 @@ def _shingles(text: str, k: int = 3) -> set[str]:
 
 
 def _shingle_hash(s: str) -> int:
-    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _MERSENNE
+    # matches operators.dedup.shingle_hash_fast (Spark F.crc32 == zlib.crc32)
+    import zlib
+    return zlib.crc32(s.encode("utf-8")) % _MERSENNE
 
 
 def _minhash_sig(shingles: set[str], num_perms: int) -> list[int]:
@@ -174,9 +176,11 @@ def reference_labels(n_rows: int, seed: int = 42,
                 a, b = members[i], members[j]
                 if a == b:
                     continue
-                inter = len(sh[a] & sh[b])
-                union = len(sh[a] | sh[b])
-                if union and inter / union >= profile.dedup_jaccard:
+                # MinHash similarity estimator — fraction of agreeing
+                # permutations (same verification as the engine's
+                # minhash_losers_from_sig)
+                est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / num_perms
+                if est >= profile.dedup_jaccard:
                     # earliest (warc_ts, url) wins
                     if (ts_of[a], a) < (ts_of[b], b):
                         losers.add(b)

@@ -143,3 +143,16 @@ def test_host_lang_consensus_backfill(spark):
     assert out["https://a.com/4"] == ("fr", "host_consensus")   # adopted
     assert out["https://a.com/3"] == ("en", "model")            # confident, kept
     assert out["https://b.com/1"] == ("es", "model")            # no consensus
+
+
+def test_ivf_grouped_matches_lsh_ann(spark, emb):
+    """Grouped-map numpy path and the expression path must agree on ranks
+    (same bucketing, same cosine, different physical strategy)."""
+    from cfht2caom2_spark.operators.similarity import ivf_topk_grouped
+    df, _ = emb
+    queries = df.filter(F.col("vec_id") < 3)
+    a = {(r["query_id"], r["rank"]): r["vec_id"]
+         for r in lsh_ann(df, queries, k=5, n_planes=4).collect()}
+    b = {(r["query_id"], r["rank"]): r["vec_id"]
+         for r in ivf_topk_grouped(df, queries, k=5, n_planes=4).collect()}
+    assert a == b
