@@ -30,7 +30,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "q_text_stats", "q_quality_decision", "q_token_count", "q_fingerprint",
     "q_scrub_pii", "q_dedup_exact", "q_dedup_first_wins", "q_minhash_pairs",
-    "q_simhash", "q_cosine_topk", "q_ann_lsh", "q_pricing_report",
+    "q_simhash", "q_cosine_topk", "q_ann_lsh", "q_ivf_topk",
+    "q_embedding_neardup", "q_source_lang_consensus", "q_cube_report",
+    "q_pricing_report",
     "q_revenue_by_nation", "q_window_backfill", "q_anti_join_resume",
     "q_semi_join", "q_incremental_window", "q_topk_users",
     "q_merge_last_wins", "q_langid_heuristic", "q_pipeline_flagship",

@@ -766,6 +766,69 @@ Q_LANGID_HEURISTIC_SQL = _langid_sql()
 
 
 # --------------------------------------------------------------------------
+# J4-analogue — per-group consensus (documents: source plays the host role)
+# --------------------------------------------------------------------------
+
+def q_source_lang_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority lang per source via the skew-aware two-phase aggregation
+    (operators/hostnorm.py pattern): partial counts on a salted key, final
+    merge, deterministic winner (count desc, lang asc)."""
+    docs = _t(spark, sf_dir, "documents")
+    partial = docs.select(
+        "source", (F.col("doc_id") % 16).alias("_salt"), "lang"
+    ).groupBy("source", "_salt", "lang").agg(F.count(F.lit(1)).alias("_c"))
+    totals = partial.groupBy("source", "lang").agg(
+        F.sum("_c").cast("bigint").alias("n_votes"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_votes").desc(), F.col("lang"))
+    return (
+        totals.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("source", F.col("lang").alias("consensus_lang"), "n_votes")
+    )
+
+
+Q_SOURCE_LANG_CONSENSUS_SQL = """
+WITH t AS (
+  SELECT source, lang, count(*)::BIGINT AS n_votes
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang AS consensus_lang, n_votes FROM t
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY n_votes DESC, lang) = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# grouping sets — CUBE report (documents)
+# --------------------------------------------------------------------------
+
+def q_cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").cast("bigint").alias("total_chars"))
+    )
+
+
+Q_CUBE_REPORT_SQL = """
+SELECT lang, source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY CUBE (lang, source)
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map (applyInPandas) IVF ANN — numpy matmul per cell; result-
+    identical to q_ann_lsh (same bucketing/ranking), so it shares its oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_NQUERIES)
+    return SIM.ivf_topk_grouped(emb, queries, k=TOPK_K, n_planes=8).select(
+        "query_id", "vec_id", "rank")
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -784,6 +847,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_cosine_topk": q_cosine_topk,
     "q_ann_lsh": q_ann_lsh,
     "q_embedding_neardup": q_embedding_neardup,
+    "q_ivf_topk": q_ivf_topk,
+    "q_source_lang_consensus": q_source_lang_consensus,
+    "q_cube_report": q_cube_report,
     "q_pricing_report": q_pricing_report,
     "q_revenue_by_nation": q_revenue_by_nation,
     "q_window_backfill": q_window_backfill,
@@ -810,6 +876,9 @@ ORACLES: dict[str, str] = {
     "q_cosine_topk": Q_COSINE_TOPK_SQL,
     "q_ann_lsh": Q_ANN_LSH_SQL,
     "q_embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
+    "q_ivf_topk": Q_ANN_LSH_SQL,
+    "q_source_lang_consensus": Q_SOURCE_LANG_CONSENSUS_SQL,
+    "q_cube_report": Q_CUBE_REPORT_SQL,
     "q_pricing_report": Q_PRICING_REPORT_SQL,
     "q_revenue_by_nation": Q_REVENUE_BY_NATION_SQL,
     "q_window_backfill": Q_WINDOW_BACKFILL_SQL,

@@ -156,3 +156,29 @@ def test_ivf_grouped_matches_lsh_ann(spark, emb):
     b = {(r["query_id"], r["rank"]): r["vec_id"]
          for r in ivf_topk_grouped(df, queries, k=5, n_planes=4).collect()}
     assert a == b
+
+
+def test_python_minhash_matches_jvm(spark):
+    """fused.minhash_sig_py (numpy path) must equal operators.dedup.
+    minhash_signature with the crc32 hash (JVM path) — the production
+    signature is computed in Python, the declarative one in Spark SQL."""
+    import numpy as np
+    from cfht2caom2_spark.functions.fused import minhash_sig_py
+    from cfht2caom2_spark.operators.dedup import (_perm_params,
+                                                  minhash_signature,
+                                                  shingle_hash_fast)
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "one two",
+        "single",
+        "Mixed CASE Text with   extra  whitespace and\nnewlines in it here",
+    ]
+    perms = _perm_params(32)
+    A = np.array([a for a, _ in perms], dtype=np.int64)
+    B = np.array([b for _, b in perms], dtype=np.int64)
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    jvm = [r["s"] for r in df.select(
+        minhash_signature(F.col("t"), 32, 3, shingle_hash_fast).alias("s")
+    ).collect()]
+    py = [minhash_sig_py(t, A, B, 3) for t in texts]
+    assert jvm == py
