@@ -1,0 +1,63 @@
+"""Physical-plan shape assertions — the plans must STAY the plans we chose.
+
+Guards the scale properties the engine's 100 TB story depends on: predicate
+pushdown into the scan, column pruning, broadcast dimension joins, and the
+flagship's single-Python-crossing / zero-shuffle narrow prefix.  A regression
+here is a silent 10x at scale even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_no_dedup_is_single_python_pass_no_shuffle(spark):
+    from cfht2caom2_spark.plans.driver_queries import q_pipeline_flagship
+
+    plan = plan_of(q_pipeline_flagship(spark, SF))
+    # one fused Arrow crossing, not three
+    assert plan.count("MapInPandas") == 1
+    # narrow end-to-end: the only Exchange allowed is the explicit fan-out
+    # repartition of the tiny local test file
+    assert plan.count("Exchange") <= 1
+
+
+def test_semi_join_filter_pushed_to_scan(spark):
+    from cfht2caom2_spark.plans.driver_queries import q_semi_join
+
+    plan = plan_of(q_semi_join(spark, SF))
+    assert "LeftSemi" in plan
+    # quantity predicate reaches the parquet scan
+    assert "GreaterThanOrEqual(l_quantity" in plan
+
+
+def test_dimension_joins_broadcast(spark):
+    from cfht2caom2_spark.plans.driver_queries import q_revenue_by_nation
+
+    plan = plan_of(q_revenue_by_nation(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_column_pruning_metadata_only_query(spark):
+    from cfht2caom2_spark.plans.driver_queries import q_lang_report
+
+    plan = plan_of(q_lang_report(spark, SF))
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines, plan
+    # the fat text column must not be read for a metadata-only report
+    assert all("text" not in l.split("ReadSchema")[1] for l in scan_lines)
+
+
+def test_dedup_losers_join_is_broadcast(spark):
+    from cfht2caom2_spark.plans.pipeline import build_pipeline
+    from cfht2caom2_spark.sources.pages import synth_pages
+
+    plan = plan_of(build_pipeline(synth_pages(spark, 200), spark, dedupe=True))
+    assert "BroadcastHashJoin" in plan  # losers side broadcast, main frame unshuffled

@@ -1,0 +1,79 @@
+"""Property-based tests (hypothesis) for the pure kernels.
+
+The reference has no property testing (SURVEY §5); these harden the total-
+function contract the engine relies on: kernels NEVER raise on arbitrary
+input, and are deterministic — a task retry must reproduce bytes exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cfht2caom2_spark.functions.extraction import extract_html, sha256_text
+from cfht2caom2_spark.functions.fused import minhash_sig_py
+from cfht2caom2_spark.functions.langid import TrigramLangID
+from cfht2caom2_spark.functions.perplexity import BigramLM
+from cfht2caom2_spark.operators.dedup import _perm_params
+
+_LID = TrigramLangID()
+_LM = BigramLM()
+_PERMS = _perm_params(16)
+_A = np.array([a for a, _ in _PERMS], dtype=np.int64)
+_B = np.array([b for _, b in _PERMS], dtype=np.int64)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=4096))
+def test_extract_html_total_and_deterministic(payload):
+    a = extract_html(payload)
+    b = extract_html(payload)
+    assert a == b
+    if a is not None:
+        assert a == a.strip()
+        assert "  " not in a.replace("\n", "|")  # no space runs survive
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=2048))
+def test_langid_total(text):
+    lang, conf = _LID.predict_one(text)
+    assert lang in set(_LID.langs) | {"und"}
+    assert 0.0 <= conf <= 1.0
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=2048),
+       st.sampled_from(["en", "fr", "de", "es", "zh", "xx", None]))
+def test_perplexity_total(text, lang):
+    ppl = _LM.perplexity_one(text, lang)
+    assert ppl > 0  # inf allowed for empty
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.sampled_from("the quick brown fox alpha beta gamma".split()),
+                min_size=0, max_size=60))
+def test_minhash_sig_matches_naive(words):
+    """numpy path == naive per-permutation python reimplementation."""
+    import zlib
+
+    text = " ".join(words)
+    got = minhash_sig_py(text, _A, _B, 3)
+    toks = text.lower().split()
+    if not toks:
+        assert got is None
+        return
+    if len(toks) >= 3:
+        sh = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    else:
+        sh = {" ".join(toks)}
+    hs = [zlib.crc32(s.encode()) % 2_147_483_647 for s in sh]
+    want = [min((a * h + b) % 2_147_483_647 for h in hs) for a, b in _PERMS]
+    assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=1024))
+def test_sha256_stability(text):
+    assert sha256_text(text) == sha256_text(text)

@@ -96,3 +96,43 @@ def test_snapshot_time_travel(spark, store):
     table, sid, root = store
     n_at_s1 = table.read(spark, sid).count()
     assert n_at_s1 == N  # later snapshots invisible at sid
+
+
+def test_stateful_first_arrival_dedup(spark, tmp_path):
+    """applyInPandasWithState: re-arrivals with unchanged content are
+    suppressed across micro-batches; changed content passes (md5-compare
+    semantics of store_modified_files_only)."""
+    import datetime as dt
+
+    from cfht2caom2_spark.sources.pages import PAGES_SCHEMA
+    from cfht2caom2_spark.streaming.stateful import dedup_first_arrival
+
+    src = str(tmp_path / "src")
+    t0 = dt.datetime(2025, 6, 1)
+    batch1 = [("u1", t0, None, "hello world", "en"),
+              ("u2", t0, None, "other text", "en")]
+    batch2 = [("u1", t0 + dt.timedelta(hours=1), None, "hello world", "en"),   # same content
+              ("u2", t0 + dt.timedelta(hours=1), None, "CHANGED text", "en"),  # changed
+              ("u3", t0 + dt.timedelta(hours=1), None, "fresh", "en")]
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(src)
+        q = (dedup_first_arrival(stream).writeStream
+             .format("parquet").option("path", out)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+
+    # two separate query RUNS over one checkpoint: state must survive restart
+    spark.createDataFrame(batch1, PAGES_SCHEMA).coalesce(1).write.parquet(src)
+    run_once()
+    spark.createDataFrame(batch2, PAGES_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    rows = {(r["url"], r["is_rearrival"]): r["text"]
+            for r in spark.read.parquet(out).collect()}
+    assert ("u1", False) in rows and ("u2", False) in rows and ("u3", False) in rows
+    assert ("u1", True) not in rows                     # unchanged re-arrival suppressed
+    assert rows.get(("u2", True)) == "CHANGED text"     # changed content admitted
