@@ -85,7 +85,8 @@ class RuleProfile:
 RULE_IDS: tuple[str, ...] = (
     "empty_payload", "too_short", "too_long", "word_len_low", "word_len_high",
     "symbol_ratio", "stopword_frac", "alpha_frac", "repeated_lines",
-    "perplexity", "lang_conf", "lang_blocked", "toxicity", "near_duplicate",
+    "perplexity", "lang_conf", "lang_blocked", "toxicity",
+    "exact_duplicate", "near_duplicate",
 )
 
 DEFAULT_PROFILE = RuleProfile()

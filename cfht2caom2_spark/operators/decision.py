@@ -45,12 +45,14 @@ def with_decision(df: DataFrame, profile: RuleProfile,
                   text_col: str = "extracted_text",
                   lang_col: str | None = "lang_pred",
                   include_model_rules: bool = True,
-                  near_dup_col: str | None = None) -> DataFrame:
+                  near_dup_col: str | None = None,
+                  exact_dup_col: str | None = None) -> DataFrame:
     """Append ``rules array<string>`` + ``keep boolean``.
 
     Expects the quality-stat columns (functions.quality.with_quality_stats)
     and, when include_model_rules, lang_pred/lang_conf/ppl.
-    ``near_dup_col``: optional boolean column marking MinHash losers.
+    ``near_dup_col`` / ``exact_dup_col``: optional boolean columns marking
+    MinHash losers / byte-identical-content losers.
     """
     rules = dict(heuristic_rules(profile))
     # rule-profile dispatch (P13): word-length rules are meaningless for
@@ -64,6 +66,8 @@ def with_decision(df: DataFrame, profile: RuleProfile,
         rules.update(model_rules(profile))
     if near_dup_col is not None:
         rules["near_duplicate"] = F.col(near_dup_col)
+    if exact_dup_col is not None:
+        rules["exact_duplicate"] = F.col(exact_dup_col)
 
     # a null payload fires ONLY empty_payload: stats are null there, and
     # assemble_rules treats null conditions as not-fired.

@@ -91,6 +91,7 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
     df = df.drop(*[c for c in ("html", "text") if c in df.columns])
 
     near_dup_col = None
+    exact_dup_col = None
     if dedupe:
         # the dedup branch fans the plan out (signatures, jaccard-verify x2,
         # ordering, main branch): persist the post-UDF frame so extraction +
@@ -100,10 +101,34 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
         from pyspark import StorageLevel
 
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        # exact-duplicate collapse FIRST (by extraction sha256): at crawl
+        # scale 30%+ of pages are byte-identical re-hosts, and every exact-dup
+        # group of size m would otherwise contribute m^2/2 pairs to EVERY
+        # minhash band (the one join blow-up AQE can't fully save); after
+        # this, minhash sees one canonical doc per content hash
+        from pyspark.sql import Window as _W
+
+        alive = df.filter(F.col("extracted_text").isNotNull())
+        # identity granularity is the url (re-arrivals share the id): take the
+        # first arrival per url, THEN rank those canonicals by content hash —
+        # a url whose content equals an earlier url's is an exact duplicate
+        w_url = _W.partitionBy(id_col).orderBy(order_col)
+        canonical = alive.withColumn("_url_rn", F.row_number().over(w_url)) \
+            .filter(F.col("_url_rn") == 1).drop("_url_rn")
+        w_sha = _W.partitionBy("extracted_sha256").orderBy(order_col, id_col)
+        ranked = canonical.withColumn("_sha_rn", F.row_number().over(w_sha))
+        exact_losers = ranked.filter(F.col("_sha_rn") > 1) \
+            .select(F.col(id_col)).distinct().withColumn("_is_exact_dup", F.lit(True))
+        df = df.join(F.broadcast(exact_losers), on=id_col, how="left") \
+            .withColumn("_exact_dup", F.coalesce(F.col("_is_exact_dup"), F.lit(False))) \
+            .drop("_is_exact_dup")
+        exact_dup_col = "_exact_dup"
+
         # the single wide dependency: banded minhash self-join over rows that
         # are still alive after the cheap rules (don't pay the shuffle for
         # rows that are dropped anyway — predicate-first ordering, SURVEY §4)
-        candidates = df.filter(F.col("extracted_text").isNotNull())
+        # and that survived the exact-dup collapse
+        candidates = ranked.filter(F.col("_sha_rn") == 1).drop("_sha_rn")
         if "minhash_sig" in df.columns:
             from ..operators.dedup import minhash_losers_from_sig
 
@@ -131,7 +156,8 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
         ).drop("_is_dup")
         near_dup_col = "_near_dup"
 
-    df = with_decision(df, profile, near_dup_col=near_dup_col)
+    df = with_decision(df, profile, near_dup_col=near_dup_col,
+                       exact_dup_col=exact_dup_col)
     out_cols = [c for c in OUTPUT_COLUMNS if c in df.columns]
     # scrubbed text is the stored artifact only for kept docs (S10 analogue)
     return df.select(*out_cols).withColumn(

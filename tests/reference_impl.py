@@ -154,6 +154,19 @@ def reference_labels(n_rows: int, seed: int = 42,
             seen_urls.add(url)
             firsts.append((url, ts, text))
     alive = firsts
+    # exact-duplicate collapse by content hash (same order: earliest canonical
+    # wins; later urls with identical bytes get exact_duplicate and do not
+    # participate in minhash — mirrors plans/pipeline.py)
+    seen_sha: dict[str, str] = {}
+    canonicals = []
+    for url, ts, text in alive:
+        sha = hashlib.sha256(text.encode()).hexdigest()
+        if sha in seen_sha:
+            results[url]["rules"].add("exact_duplicate")
+        else:
+            seen_sha[sha] = url
+            canonicals.append((url, ts, text))
+    alive = canonicals
     sigs = {}
     sh = {}
     for url, ts, text in alive:

@@ -127,3 +127,29 @@ def test_fused_equals_unfused(spark):
                                           tuple(r["rules"]), r["ppl"])
               for r in b.collect()}
     assert rows_a == rows_b
+
+
+def test_exact_duplicate_collapse_before_minhash(spark):
+    """Byte-identical content on different urls: one canonical survives, the
+    rest are exact_duplicate (and never reach the minhash join)."""
+    import datetime as dt
+
+    from cfht2caom2_spark.sources.pages import PAGES_SCHEMA
+
+    base = ("the quick brown fox jumps over the lazy dog and runs into the "
+            "quiet forest where people gather every morning near the stone "
+            "bridge to buy bread and fruit from the market in the valley "
+            "while children play near the river and travelers rest happily "
+            "watching the green fields and the mountains in the distance "
+            "under a mild sky for most of the pleasant year it is calm here")
+    t0 = dt.datetime(2025, 6, 1)
+    rows = [
+        (f"https://h{i}.org/p/{i}", t0 + dt.timedelta(hours=i), None, base, "en")
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    out = {r["url"]: r["rules"] for r in build_pipeline(df, spark).collect()}
+    dups = [u for u, rules in out.items() if "exact_duplicate" in rules]
+    assert len(dups) == 3
+    assert "https://h0.org/p/0" not in dups       # earliest canonical survives
+    assert all("near_duplicate" not in out[u] for u in out)  # collapsed pre-minhash
