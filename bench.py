@@ -166,9 +166,13 @@ def run_scaling(n_rows: int = 320_000) -> None:
             [sys.executable, __file__, "--scaling-child", str(cores), pages_path],
             capture_output=True, text=True, timeout=3600,
         )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
-        print(line)
+        json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if out.returncode != 0 or not json_lines:
+            raise RuntimeError(
+                f"scaling child local[{cores}] failed (rc={out.returncode}):\n"
+                f"{out.stderr[-2000:]}")
+        results[cores] = json.loads(json_lines[-1])
+        print(json_lines[-1])
 
     summary = {"metric": "scaling_efficiency", "unit": "ratio",
                "rows": n_rows, "pairs": {}}

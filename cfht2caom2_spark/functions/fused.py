@@ -54,8 +54,9 @@ def minhash_sig_py(text: str | None, A, B, k: int = 3):
     if not text:
         return None
     toks = text.lower().split()
-    if not toks:
-        return None
+    # whitespace-only text: single empty shingle — IDENTICAL to the JVM path
+    # (word_shingles yields [array_join([], ' ')] = ['']); returning None here
+    # would silently exclude such rows from dedup on the fused path only
     if len(toks) >= k:
         shingles = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
     else:

@@ -49,7 +49,7 @@ class TrigramLangID:
     """
 
     UNSEEN_LOGPROB = -9.0
-    SAMPLE_CHARS = 1200  # classification saturates well below this
+    SAMPLE_CHARS = 600  # classification saturates well below this
 
     def __init__(self, corpora: dict[str, str] | None = None):
         corpora = corpora or CORPORA
@@ -65,14 +65,21 @@ class TrigramLangID:
                 g: math.log((c + 1) / (total + vocab)) for g, c in counts.items()
             }
             self.floor[lang] = self.UNSEEN_LOGPROB
-        # per-gram score tuple across all langs: ONE dict lookup per unique
-        # gram at scoring time instead of len(langs) lookups per gram token
-        all_grams = set().union(*[set(m) for m in self.logprob.values()])
-        self.gram_scores: dict[str, tuple[float, ...]] = {
-            g: tuple(self.logprob[l].get(g, self.floor[l]) for l in self.langs)
-            for g in all_grams
+        # one preassembled (G+1 x L) score matrix; grams map to row indices
+        # (UTF-16 code units packed into int64), last row = unseen floor —
+        # scoring is then counts @ M[idx], no per-gram array work
+        import numpy as np
+
+        all_grams = sorted(set().union(*[set(m) for m in self.logprob.values()]))
+        self.rowmap: dict[int, int] = {
+            (ord(g[0]) << 32) | (ord(g[1]) << 16) | ord(g[2]): i
+            for i, g in enumerate(all_grams)
         }
-        self.floor_vec = tuple(self.floor[l] for l in self.langs)
+        rows = [[self.logprob[l].get(g, self.floor[l]) for l in self.langs]
+                for g in all_grams]
+        rows.append([self.floor[l] for l in self.langs])
+        self.score_matrix = np.array(rows, dtype=np.float64)
+        self.floor_row = len(all_grams)
 
     def predict_one(self, text: str | None) -> tuple[str, float]:
         if not text:
@@ -87,15 +94,19 @@ class TrigramLangID:
         n_grams = len(norm) - 2
         if n_grams <= 0:
             return "und", 0.0
-        # aggregate over UNIQUE grams with multiplicity: one lookup per
-        # unique gram, all languages scored from the precomputed tuple
-        acc = [0.0] * len(self.langs)
-        gs = self.gram_scores
-        fv = self.floor_vec
-        for g, c in Counter(norm[i : i + 3] for i in range(n_grams)).items():
-            vec = gs.get(g, fv)
-            for k in range(len(acc)):
-                acc[k] += c * vec[k]
+        # vectorized: UTF-16 code units -> int64 trigram ids -> np.unique ->
+        # one lookup per UNIQUE gram, counts (x) score-matrix product
+        import numpy as np
+
+        codes = np.frombuffer(norm.encode("utf-16-le"), dtype=np.uint16) \
+            .astype(np.int64)
+        ids = (codes[:-2] << 32) | (codes[1:-1] << 16) | codes[2:]
+        uniq, counts = np.unique(ids, return_counts=True)
+        rm = self.rowmap
+        fr = self.floor_row
+        idx = np.fromiter((rm.get(u, fr) for u in uniq.tolist()),
+                          dtype=np.int64, count=len(uniq))
+        acc = counts @ self.score_matrix[idx]
         # script gating: zh competes only when CJK is actually present
         zh_ok = cjk / max(n, 1) > 0.05
         scores = {

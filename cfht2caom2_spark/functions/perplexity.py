@@ -49,24 +49,35 @@ class BigramLM:
             }
             # unseen bigram: assume unseen context with count ~ median unigram
             self.floors[lang] = math.log2(1 / (vocab * 4))
+        # integer-keyed variants for the numpy scoring path: bigram id =
+        # code(c1) * 2^16 + code(c2) over UTF-16 code units
+        self.models_int: dict[str, dict[int, float]] = {}
+        for lang, model in self.models.items():
+            self.models_int[lang] = {
+                (ord(bg[0]) << 16) | ord(bg[1]): lp for bg, lp in model.items()
+            }
 
-    SAMPLE_CHARS = 2000
+    SAMPLE_CHARS = 1000
 
     def perplexity_one(self, text: str | None, lang: str | None) -> float:
+        """Vectorized: UTF-16 code units -> int64 bigram ids -> np.unique ->
+        one dict lookup per UNIQUE bigram (dozens, not thousands)."""
+        import numpy as np
+
         if not text:
             return float("inf")
-        lang = lang if lang in self.models else "en"
-        model, floor = self.models[lang], self.floors[lang]
+        lang = lang if lang in self.models_int else "en"
+        model, floor = self.models_int[lang], self.floors[lang]
         sample = " " + _RE_WS.sub(" ", text[: self.SAMPLE_CHARS].lower()) + " "
-        n = len(sample) - 1
+        codes = np.frombuffer(sample.encode("utf-16-le"), dtype=np.uint16)
+        n = len(codes) - 1
         if n <= 0:
             return float("inf")
-        # one lookup per UNIQUE bigram, weighted by multiplicity
-        from collections import Counter as _C
-
-        total = 0.0
-        for bg, c in _C(sample[i : i + 2] for i in range(n)).items():
-            total += c * model.get(bg, floor)
+        ids = (codes[:-1].astype(np.int64) << 16) | codes[1:]
+        uniq, counts = np.unique(ids, return_counts=True)
+        logps = np.fromiter((model.get(int(u), floor) for u in uniq),
+                            dtype=np.float64, count=len(uniq))
+        total = float(np.dot(counts, logps))
         return 2.0 ** (-total / n)
 
     def perplexity_series(self, texts: pd.Series, langs: pd.Series) -> pd.Series:

@@ -107,7 +107,8 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         F.lit(every_ms),
     )
     return (
-        df.filter(F.col("kind") == "video")
+        df.filter((F.col("kind") == "video")
+                  & (F.coalesce(F.col("meta.duration_ms"), F.lit(0)) > 0))
         .withColumn("frame_ts_ms", F.explode(frames))
         .select("media_id", "frame_ts_ms", "payload")
     )

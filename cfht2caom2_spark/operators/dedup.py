@@ -296,7 +296,8 @@ def connected_components_small(pairs: DataFrame, max_iter: int = 20) -> DataFram
 def minhash_losers_from_sig(df: DataFrame, id_col: str, order_col: str,
                             sig_col: str = "minhash_sig",
                             bands: int = 8, rows_per_band: int = 4,
-                            threshold: float = 0.8) -> DataFrame:
+                            threshold: float = 0.8,
+                            persist_tracker: list | None = None) -> DataFrame:
     """Near-dup losers from PRECOMPUTED signatures (the production path).
 
     Verification uses the standard MinHash similarity estimator — the
@@ -324,6 +325,8 @@ def minhash_losers_from_sig(df: DataFrame, id_col: str, order_col: str,
         .filter(F.col("_rn") == 1).drop("_rn")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if persist_tracker is not None:
+        persist_tracker.append(keyed)
     banded = keyed.select(
         "_id", "_ord", "_sig",
         F.explode(F.array(*[

@@ -51,7 +51,8 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
                    id_col: str = "url",
                    order_col: str = "warc_ts",
                    has_html: bool = True,
-                   fused: bool = True) -> DataFrame:
+                   fused: bool = True,
+                   persist_tracker: list | None = None) -> DataFrame:
     """Pure plan builder: pages -> decisions.  Imported by batch main,
     streaming foreachBatch, pytest, and the driver entry — the same plan runs
     everywhere (the reference's SCRAPE-mode purity, SURVEY.md §3.3).
@@ -60,6 +61,10 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
     Arrow pass (single-visit fusion, composable.py:90-98 analogue); the
     unfused path keeps the three stages separate and is result-identical
     (tests assert both).
+
+    ``persist_tracker``: optional list the builder appends every persisted
+    DataFrame to, so the caller can unpersist after its terminal action
+    (persists are otherwise leaked in long-lived sessions).
     """
     df = pages
     if fused:
@@ -101,6 +106,8 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
         from pyspark import StorageLevel
 
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        if persist_tracker is not None:
+            persist_tracker.append(df)
         # exact-duplicate collapse FIRST (by extraction sha256): at crawl
         # scale 30%+ of pages are byte-identical re-hosts, and every exact-dup
         # group of size m would otherwise contribute m^2/2 pairs to EVERY
@@ -137,6 +144,7 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
                 bands=profile.minhash_bands,
                 rows_per_band=profile.minhash_rows_per_band,
                 threshold=profile.dedup_jaccard,
+                persist_tracker=persist_tracker,
             )
         else:
             losers = minhash_dedup_losers(
@@ -184,7 +192,9 @@ def run_batch(spark: SparkSession, pages: DataFrame, out_dir: str,
 
     from pyspark.sql import Observation
 
-    decisions = build_pipeline(work, spark, profile, dedupe=dedupe)
+    persisted: list = []
+    decisions = build_pipeline(work, spark, profile, dedupe=dedupe,
+                               persist_tracker=persisted)
     decisions = decisions.withColumn(
         "p_day", F.date_format(F.col("warc_ts"), "yyyy-MM-dd")
     )
@@ -195,9 +205,12 @@ def run_batch(spark: SparkSession, pages: DataFrame, out_dir: str,
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("kept"),
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    decisions.write.mode("overwrite").partitionBy("p_day").parquet(decisions_path)
+    (decisions.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")  # scoped to THIS write
+     .partitionBy("p_day").parquet(decisions_path))
     metrics = obs.get
+    for df_p in persisted:
+        df_p.unpersist()
 
     written = spark.read.parquet(decisions_path)
     done_days = [r["p_day"] for r in work.select(

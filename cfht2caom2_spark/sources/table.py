@@ -94,8 +94,18 @@ class SnapshotTable:
     # -- read path ------------------------------------------------------------
     def _read_files(self, spark: SparkSession, files: list[str]) -> DataFrame:
         if not files:
-            empty = spark.read.option("basePath", self.data_dir).parquet(self.data_dir)
-            return empty.limit(0)
+            all_files = sorted(self._all_data_files())
+            if all_files:
+                # schema from any existing file, zero rows
+                return spark.read.option("basePath", self.data_dir) \
+                    .parquet(all_files[0]).limit(0)
+            # brand-new table: fall back to the canonical pages schema
+            from .pages import PAGES_SCHEMA
+
+            import pyspark.sql.types as T
+            schema = T.StructType(list(PAGES_SCHEMA.fields)
+                                  + [T.StructField("p_day", T.StringType())])
+            return spark.createDataFrame([], schema)
         return spark.read.option("basePath", self.data_dir).parquet(*files)
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:

@@ -59,11 +59,20 @@ def process_increment(spark: SparkSession, table: SnapshotTable, out_dir: str,
     current = table.current_snapshot() or 0
     if last is not None and current <= last:
         return {"processed": 0, "snapshot": current}
+    from pyspark.sql import Observation
+
     inc = table.incremental(spark, after=last, until=current)
-    decisions = build_pipeline(inc.drop("p_day"), spark, profile, dedupe=dedupe)
-    n = decisions.count()
+    persisted: list = []
+    decisions = build_pipeline(inc.drop("p_day"), spark, profile,
+                               dedupe=dedupe, persist_tracker=persisted)
+    # metrics ride the write action — one execution per tick, not two
+    obs = Observation("tick_metrics")
+    decisions = decisions.observe(obs, F.count(F.lit(1)).alias("n"))
     decisions.withColumn("p_day", F.date_format("warc_ts", "yyyy-MM-dd")) \
         .write.mode("append").partitionBy("p_day").parquet(f"{out_dir}/decisions")
+    n = obs.get["n"]
+    for df_p in persisted:
+        df_p.unpersist()
     write_bookmark(bookmark_path, current)
     return {"processed": n, "snapshot": current}
 

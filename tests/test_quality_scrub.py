@@ -83,3 +83,14 @@ def test_rule_versions_complete():
     from cfht2caom2_spark.config import RULE_IDS
     v = DEFAULT_PROFILE.rule_versions()
     assert set(v) == set(RULE_IDS)
+
+
+def test_scrub_phone_formats_without_country_code(spark):
+    """Regression (review finding): bare 555-123-4567, (555) 123-4567 and
+    dotted forms must scrub — the original pattern required a country code."""
+    df = spark.createDataFrame(
+        [(1, "call 555-123-4567 or (555) 123-4567 or 555.123.4567 end")],
+        "id bigint, extracted_text string")
+    row = with_scrub(df).collect()[0]
+    assert "555" not in row["scrubbed_text"]
+    assert row["scrubbed_text"].count("<PHONE>") == 3
