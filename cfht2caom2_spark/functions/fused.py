@@ -79,7 +79,13 @@ def with_extract_and_scores(df: DataFrame, spark: SparkSession,
     bc = spark.sparkContext.broadcast(
         (langid_model or TrigramLangID(), ppl_model or BigramLM())
     )
-    fields = list(df.schema.fields) + _OUT_FIELDS
+    # payload columns cross INTO Python (extraction needs the bytes) but are
+    # consumed there — returning them would ship every page body back across
+    # Arrow a second time for a downstream .drop(); exclude them from the
+    # output schema instead (halves UDF serialization traffic)
+    consumed = {html_col, text_col}
+    kept_fields = [f for f in df.schema.fields if f.name not in consumed]
+    fields = kept_fields + _OUT_FIELDS
     if minhash_perms:
         import numpy as np
 
@@ -105,7 +111,8 @@ def with_extract_and_scores(df: DataFrame, spark: SparkSession,
                 langs.append(lang)
                 confs.append(conf)
                 ppls.append(lm.perplexity_one(t, lang))
-            out = pdf.copy()
+            out = pdf.drop(columns=[c for c in (html_col, text_col)
+                                    if c in pdf.columns])
             out["extracted_text"] = pd.Series(texts, index=pdf.index, dtype=object)
             out["extracted_sha256"] = out["extracted_text"].map(
                 sha256_text, na_action="ignore")
