@@ -79,6 +79,13 @@ class RuleProfile:
     minhash_rows_per_band: int = 4
     shingle_size: int = 3                # word 3-shingles
     dedup_jaccard: float = 0.8
+    # Host-consensus language backfill (J4-J6 sibling backfill inside the
+    # main visit, reference instruments.py:1951-2019): a low-confidence
+    # prediction adopts its host's majority language and is thereby exempt
+    # from the lang_conf gate (hosts are strongly monolingual in practice).
+    host_lang_backfill: bool = False
+    host_backfill_min_conf: float = 0.5   # votes counted above this conf
+    host_backfill_adopt_below: float = 0.3  # rows below this conf adopt
 
     def rule_versions(self) -> dict[str, str]:
         """Per-rule version map recorded in lineage rows (north_rule)."""

@@ -47,13 +47,17 @@ def minhash_sig_py(text: str | None, A, B, k: int = 3):
     functions are interpreted, not codegen'd: a JVM-side fold costs ~2 ms/doc
     and dominates the whole pipeline, while one (n_shingles x n_perms) numpy
     broadcast is ~30 us."""
+    import re
     import zlib
 
     import numpy as np
 
     if not text:
         return None
-    toks = text.lower().split()
+    # split on the JVM's \s class (ASCII whitespace ONLY) — str.split()
+    # splits on Unicode whitespace too, so e.g. the U+00A0 that extract_html
+    # emits for &nbsp; would tokenize differently fused vs unfused
+    toks = [t for t in re.split(r"[ \t\n\x0b\f\r]+", text.lower()) if t]
     # whitespace-only text: single empty shingle — IDENTICAL to the JVM path
     # (word_shingles yields [array_join([], ' ')] = ['']); returning None here
     # would silently exclude such rows from dedup on the fused path only

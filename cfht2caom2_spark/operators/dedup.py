@@ -262,35 +262,77 @@ def simhash(text: Column, bits: int = 16) -> Column:
     )
 
 
-# --- small-scale exact clustering ---------------------------------------------
+# --- transitive closure (cluster labeling) -------------------------------------
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond"): for every node u, attach each strictly-larger
+    neighbor to min(Γ(u) ∪ {u}).  Input/output edges oriented (src > dst)."""
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("_m"))
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: for every node u with its smaller neighbors Γ(u)
+    (edges arrive oriented src > dst), attach u and all of Γ(u) to min(Γ(u)).
+    Output stays oriented (src > dst)."""
+    mins = edges.groupBy("src").agg(F.min("dst").alias("_m"))
+    moved = (
+        edges.join(mins, "src")
+        .filter(F.col("dst") != F.col("_m"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+    )
+    centers = mins.select(F.col("src"), F.col("_m").alias("dst"))
+    return moved.union(centers).distinct()
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
+    """Transitive closure of near-dup pairs at scale: alternating large-star /
+    small-star contraction (Kiveris et al. 2014).  Converges to a star forest
+    in O(log n) rounds w.h.p.; every round is two shuffles over the EDGE set
+    only (the corpus never moves), so the cost is bounded by the duplicate
+    graph, not the table.
+
+    Unlike the round-1 min-label loop, there is no per-round driver-side
+    convergence ``.count()`` job: each round materializes via localCheckpoint
+    (which also truncates the iterative plan's lineage) and the convergence
+    probe — "no dst is still a src", i.e. the graph is a star forest — is a
+    left-semi ``isEmpty`` over those cached edges.
+
+    Returns (node, component) with component = min node id of the cluster;
+    nodes absent from ``pairs`` (singletons) are not returned.
+    """
+    edges = pairs.select(
+        F.greatest("id_a", "id_b").alias("src"),
+        F.least("id_a", "id_b").alias("dst"),
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    edges = edges.localCheckpoint()
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        non_star = edges.alias("a").join(
+            edges.alias("b"), F.col("a.dst") == F.col("b.src"), "left_semi")
+        if non_star.isEmpty():
+            break
+    labels = edges.select(F.col("src").alias("node"),
+                          F.col("dst").alias("component"))
+    roots = (edges.select(F.col("dst").alias("node")).distinct()
+             .join(edges.select(F.col("src").alias("node")).distinct(),
+                   "node", "left_anti")
+             .withColumn("component", F.col("node")))
+    return labels.union(roots)
+
 
 def connected_components_small(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Transitive closure of near-dup pairs by iterative min-label propagation
-    (star contraction).  For modest candidate sets (the verified-pair graph is
-    tiny relative to the corpus); each iteration is one join + one agg.
-    Returns (node, component) with component = min node id of the cluster."""
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "component", F.col("node")
-    )
-    for _ in range(max_iter):
-        neigh = (
-            edges.join(labels, edges.src == labels.node)
-            .select(F.col("dst").alias("node"), F.col("component"))
-        )
-        new_labels = (
-            labels.select("node", "component").union(neigh)
-            .groupBy("node").agg(F.min("component").alias("component"))
-        )
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component")).limit(1).count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+    """Back-compat alias — the star-contraction version is safe at any size."""
+    return connected_components(pairs, max_rounds=max_iter)
 
 
 def minhash_losers_from_sig(df: DataFrame, id_col: str, order_col: str,

@@ -47,9 +47,12 @@ def host_lang_consensus(df: DataFrame, url_col: str = "url",
         F.count(F.lit(1)).alias("_c"))
     totals = partial.groupBy("host", "lang").agg(F.sum("_c").alias("n_votes"))
     best = totals.groupBy("host").agg(
-        F.max_by(
+        F.min_by(
             F.struct("lang", "n_votes"),
-            F.struct(F.col("n_votes"), F.col("lang")),  # ties -> later lang, deterministic
+            # (n_votes desc, lang asc) — the SAME tie-break as the
+            # oracle-checked q_source_lang_consensus, so the two consensus
+            # implementations agree on tied groups
+            F.struct((-F.col("n_votes")).alias("neg_votes"), F.col("lang")),
         ).alias("_b")
     )
     return best.select("host", F.col("_b.lang").alias("consensus_lang"),

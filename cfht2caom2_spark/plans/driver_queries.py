@@ -122,8 +122,9 @@ _DOC_RULES = (
 )
 
 
-def q_quality_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stats = q_text_stats(spark, sf_dir)
+def _doc_rules_array():
+    """Fired-rule array over the q_text_stats columns (shared by the decision
+    and the per-rule report so both attribute identically)."""
     conds = {
         "too_short": F.col("n_words") < 50,
         "word_len_low": F.col("mean_word_len") < 3.0,
@@ -132,10 +133,15 @@ def q_quality_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stopword_frac": F.col("stopword_frac") < 0.01,
         "alpha_frac": F.col("alpha_word_frac") < 0.80,
     }
-    rules = F.array_sort(F.filter(
+    return F.array_sort(F.filter(
         F.array(*[F.when(c, F.lit(r)) for r, c in conds.items()]),
         lambda x: x.isNotNull(),
     ))
+
+
+def q_quality_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = q_text_stats(spark, sf_dir)
+    rules = _doc_rules_array()
     return stats.select(
         "doc_id",
         F.array_join(rules, ",").alias("rules_str"),
@@ -156,6 +162,36 @@ r AS (
 SELECT doc_id, coalesce(array_to_string(rules, ','), '') AS rules_str,
        coalesce(len(rules), 0) = 0 AS keep
 FROM r
+"""
+
+
+# --------------------------------------------------------------------------
+# A5 — per-rule drop attribution report (documents)
+# --------------------------------------------------------------------------
+
+def q_rule_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode(rules) -> groupBy(rule).count(): which rule drops the most
+    docs — the first report a pipeline operator asks for.  Reference
+    analogue: per-reason rejection counts, asserted at
+    /root/reference/cfht2caom2/tests/test_composable.py:187-190."""
+    stats = q_text_stats(spark, sf_dir)
+    return (
+        stats.select(F.explode(_doc_rules_array()).alias("rule"))
+        .groupBy("rule")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+Q_RULE_REPORT_SQL = f"""
+WITH s AS ({Q_TEXT_STATS_SQL.strip()}),
+r AS (
+  SELECT doc_id,
+    list_filter([{_DOC_RULE_CASES}], x -> x IS NOT NULL) AS rules
+  FROM s
+)
+SELECT rule, count(*)::BIGINT AS n_docs
+FROM (SELECT unnest(rules) AS rule FROM r)
+GROUP BY rule
 """
 
 
@@ -311,6 +347,9 @@ JACCARD_THRESHOLD = 0.35
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERIFICATION BASELINE, not a production path: all-pairs self-join,
+    O(n²) per source group — run only at small SF to cross-check MinHash
+    recall.  The scale path is q_minhash_pairs / minhash_losers_from_sig."""
     docs = _t_wide(spark, sf_dir, "documents").select(
         "doc_id", "source", word_shingles(F.col("text"), 3).alias("_sh")
     )
@@ -387,6 +426,39 @@ Q_MINHASH_PAIRS_SQL = _minhash_sql()
 
 
 # --------------------------------------------------------------------------
+# J8c — transitive-closure cluster labels over the candidate pairs
+# --------------------------------------------------------------------------
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-contraction connected components over the MinHash pair graph:
+    every doc in a near-dup cluster gets the cluster's min doc_id as its
+    label.  Reference analogue: multi-record merge groups
+    (/root/reference/cfht2caom2/tests/test_multi_plane.py:85-116)."""
+    from ..operators.dedup import connected_components
+
+    pairs = q_minhash_pairs(spark, sf_dir)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component"))
+
+
+Q_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({Q_MINHASH_PAIRS_SQL.strip()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(lbl)::BIGINT AS component
+FROM reach GROUP BY node
+"""
+
+
+# --------------------------------------------------------------------------
 # SimHash fingerprints (documents)
 # --------------------------------------------------------------------------
 
@@ -422,6 +494,9 @@ TOPK_K, TOPK_NQUERIES = 10, 5
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERIFICATION BASELINE, not a production path: brute-force cosine over
+    every (query, vector) pair — run only at small SF to cross-check ANN
+    ranking.  The scale paths are q_ann_lsh / q_ivf_topk."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < TOPK_NQUERIES)
     return SIM.cosine_topk(emb, queries, k=TOPK_K).select(
@@ -859,11 +934,14 @@ QUERIES: dict[str, QueryFn] = {
     "q_topk_users": q_topk_users,
     "q_merge_last_wins": q_merge_last_wins,
     "q_langid_heuristic": q_langid_heuristic,
+    "q_rule_report": q_rule_report,
+    "q_dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES: dict[str, str] = {
     "q_text_stats": Q_TEXT_STATS_SQL,
     "q_quality_decision": Q_QUALITY_DECISION_SQL,
+    "q_rule_report": Q_RULE_REPORT_SQL,
     "q_lang_report": Q_LANG_REPORT_SQL,
     "q_token_count": Q_TOKEN_COUNT_SQL,
     "q_fingerprint": Q_FINGERPRINT_SQL,
@@ -872,6 +950,7 @@ ORACLES: dict[str, str] = {
     "q_dedup_first_wins": Q_DEDUP_FIRST_WINS_SQL,
     "q_jaccard_pairs": Q_JACCARD_PAIRS_SQL,
     "q_minhash_pairs": Q_MINHASH_PAIRS_SQL,
+    "q_dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
     "q_simhash": Q_SIMHASH_SQL,
     "q_cosine_topk": Q_COSINE_TOPK_SQL,
     "q_ann_lsh": Q_ANN_LSH_SQL,
@@ -926,8 +1005,13 @@ def q_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.col("lang"),
     )
-    return build_pipeline(docs, spark, profile=_docs_profile(),
-                          dedupe=False, has_html=False)
+    out = build_pipeline(docs, spark, profile=_docs_profile(),
+                         dedupe=False, has_html=False)
+    # the driver's canonicalizer sorts every output column through pandas,
+    # where array cells are unhashable — serialize the rules array for the
+    # harness (same pattern as q_quality_decision); build_pipeline's
+    # production output keeps the array type.
+    return out.withColumn("rules_str", F.array_join("rules", ",")).drop("rules")
 
 
 NO_ORACLE_QUERIES: dict[str, QueryFn] = {

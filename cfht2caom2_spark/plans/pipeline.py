@@ -37,7 +37,8 @@ from ..operators.dedup import minhash_dedup_losers
 from ..operators.resume import lineage_rows, pending_work, read_lineage, write_lineage
 
 OUTPUT_COLUMNS = [
-    "url", "warc_ts", "extracted_sha256", "lang_pred", "lang_conf", "ppl",
+    "url", "warc_ts", "extracted_sha256", "lang_pred", "lang_conf",
+    "lang_source", "ppl",
     "n_words", "mean_word_len", "symbol_ratio", "stopword_frac",
     "alpha_word_frac", "repeated_line_frac", "keep", "rules", "scrubbed_text",
 ]
@@ -95,48 +96,78 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
     # we're past the scan)
     df = df.drop(*[c for c in ("html", "text") if c in df.columns])
 
-    near_dup_col = None
-    exact_dup_col = None
-    if dedupe:
-        # the dedup branch fans the plan out (signatures, jaccard-verify x2,
-        # ordering, main branch): persist the post-UDF frame so extraction +
-        # model scoring execute ONCE, not once per subtree (the reference's
-        # headers-fetched-once discipline, cfht_name.py:525-548; SURVEY §4
-        # "cache the post-extraction DataFrame before fanning out")
+    # dedup and host-backfill both fan the plan out (slim dedup projections /
+    # the consensus aggregate + the main branch): persist the post-UDF frame
+    # so extraction + model scoring execute ONCE, not once per subtree (the
+    # reference's headers-fetched-once discipline, cfht_name.py:525-548;
+    # SURVEY §4 "cache the post-extraction DataFrame before fanning out")
+    if dedupe or profile.host_lang_backfill:
         from pyspark import StorageLevel
 
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         if persist_tracker is not None:
             persist_tracker.append(df)
-        # exact-duplicate collapse FIRST (by extraction sha256): at crawl
-        # scale 30%+ of pages are byte-identical re-hosts, and every exact-dup
-        # group of size m would otherwise contribute m^2/2 pairs to EVERY
-        # minhash band (the one join blow-up AQE can't fully save); after
-        # this, minhash sees one canonical doc per content hash
+    # dedup keys/signatures are unaffected by backfill: its slim projections
+    # read the persisted pre-backfill frame
+    base = df
+
+    if profile.host_lang_backfill:
+        from ..operators.hostnorm import with_host_lang_backfill
+
+        df = with_host_lang_backfill(
+            df, url_col=id_col,
+            min_conf=profile.host_backfill_min_conf,
+            adopt_below=profile.host_backfill_adopt_below,
+        )
+        adopted = F.col("lang_source") == "host_consensus"
+        # adoption rescues the row from the lang_conf gate (that is its
+        # point); every other gate — perplexity, heuristics — still applies,
+        # and the zh word-length dispatch sees the adopted language
+        df = (df.withColumn("lang_pred", F.col("lang_final"))
+              .withColumn("lang_conf",
+                          F.when(adopted, F.greatest(
+                              F.col("lang_conf"),
+                              F.lit(profile.min_lang_conf)))
+                          .otherwise(F.col("lang_conf")))
+              .drop("lang_final"))
+
+    near_dup_col = None
+    exact_dup_col = None
+    if dedupe:
+        # All duplicate flags are computed on SLIM projections (id, order,
+        # sha, signature) and joined back ONCE with no broadcast hint: the
+        # loser set is unbounded at crawl scale (30%+ of pages are exact
+        # dups), so a mandatory broadcast of it OOMs executors at 100 TB.
+        # AQE broadcasts when the runtime size allows and falls back to a
+        # shuffle join otherwise — one fat-frame shuffle worst-case, bounded
+        # memory always.
         from pyspark.sql import Window as _W
 
-        alive = df.filter(F.col("extracted_text").isNotNull())
-        # identity granularity is the url (re-arrivals share the id): take the
-        # first arrival per url, THEN rank those canonicals by content hash —
-        # a url whose content equals an earlier url's is an exact duplicate
+        sig_based = "minhash_sig" in base.columns
+        slim_cols = [id_col, order_col, "extracted_sha256",
+                     "minhash_sig" if sig_based else "extracted_text"]
+        # exact-duplicate collapse FIRST (by extraction sha256): every
+        # exact-dup group of size m would otherwise contribute m^2/2 pairs to
+        # EVERY minhash band (the one join blow-up AQE can't fully save);
+        # after this, minhash sees one canonical doc per content hash.
+        # Identity granularity is the url (re-arrivals share the id): take
+        # the first contentful arrival per url, THEN rank those canonicals by
+        # content hash — a url whose content equals an earlier url's is an
+        # exact duplicate.
+        alive = base.select(*slim_cols).filter(
+            F.col("extracted_sha256").isNotNull())
         w_url = _W.partitionBy(id_col).orderBy(order_col)
         canonical = alive.withColumn("_url_rn", F.row_number().over(w_url)) \
             .filter(F.col("_url_rn") == 1).drop("_url_rn")
         w_sha = _W.partitionBy("extracted_sha256").orderBy(order_col, id_col)
         ranked = canonical.withColumn("_sha_rn", F.row_number().over(w_sha))
-        exact_losers = ranked.filter(F.col("_sha_rn") > 1) \
-            .select(F.col(id_col)).distinct().withColumn("_is_exact_dup", F.lit(True))
-        df = df.join(F.broadcast(exact_losers), on=id_col, how="left") \
-            .withColumn("_exact_dup", F.coalesce(F.col("_is_exact_dup"), F.lit(False))) \
-            .drop("_is_exact_dup")
-        exact_dup_col = "_exact_dup"
+        exact_losers = ranked.filter(F.col("_sha_rn") > 1).select(
+            F.col(id_col), F.lit("exact").alias("_dup_kind"))
 
-        # the single wide dependency: banded minhash self-join over rows that
-        # are still alive after the cheap rules (don't pay the shuffle for
-        # rows that are dropped anyway — predicate-first ordering, SURVEY §4)
-        # and that survived the exact-dup collapse
+        # the single wide dependency: banded minhash self-join over one
+        # canonical doc per content hash
         candidates = ranked.filter(F.col("_sha_rn") == 1).drop("_sha_rn")
-        if "minhash_sig" in df.columns:
+        if sig_based:
             from ..operators.dedup import minhash_losers_from_sig
 
             losers = minhash_losers_from_sig(
@@ -155,13 +186,18 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
                 k=profile.shingle_size,
                 threshold=profile.dedup_jaccard,
             )
-        losers = losers.withColumnRenamed("loser_id", id_col) \
-            .withColumn("_is_dup", F.lit(True))
-        # losers is tiny (near-dup victims only): broadcast it so the main
-        # frame never shuffles for this join
-        df = df.join(F.broadcast(losers), on=id_col, how="left").withColumn(
-            "_near_dup", F.coalesce(F.col("_is_dup"), F.lit(False))
-        ).drop("_is_dup")
+        near_losers = losers.select(
+            F.col("loser_id").alias(id_col), F.lit("near").alias("_dup_kind"))
+        # near losers were drawn from exact winners, so the two sets are
+        # disjoint and the union stays <=1 row per url — one join, not two
+        all_losers = exact_losers.unionByName(near_losers)
+        df = (df.join(all_losers, on=id_col, how="left")
+              .withColumn("_exact_dup",
+                          F.coalesce(F.col("_dup_kind") == "exact", F.lit(False)))
+              .withColumn("_near_dup",
+                          F.coalesce(F.col("_dup_kind") == "near", F.lit(False)))
+              .drop("_dup_kind"))
+        exact_dup_col = "_exact_dup"
         near_dup_col = "_near_dup"
 
     df = with_decision(df, profile, near_dup_col=near_dup_col,

@@ -50,7 +50,15 @@ def process_increment(spark: SparkSession, table: SnapshotTable, out_dir: str,
                       bookmark_path: str,
                       profile: RuleProfile = DEFAULT_PROFILE,
                       dedupe: bool = False) -> dict:
-    """One state-mode tick: rows in (bookmark, current] -> decisions append.
+    """One state-mode tick: rows in (bookmark, current] -> decisions.
+
+    Exactly-once EFFECT under at-least-once execution: the tick's output
+    directory is keyed on the bookmark (``since_snapshot=<last>``) and written
+    with overwrite.  A crash between the decisions write and the bookmark
+    write leaves the bookmark unadvanced, so the retried tick re-derives a
+    SUPERSET range (bookmark, new-current] and overwrites the same directory
+    — no duplicate rows survive.  (Plain append + bookmark-after would
+    duplicate the crashed tick's rows.)
 
     Dedup defaults off within an increment (cross-increment near-dup removal
     belongs to a periodic batch compaction pass, as in production CC pipelines
@@ -68,8 +76,10 @@ def process_increment(spark: SparkSession, table: SnapshotTable, out_dir: str,
     # metrics ride the write action — one execution per tick, not two
     obs = Observation("tick_metrics")
     decisions = decisions.observe(obs, F.count(F.lit(1)).alias("n"))
-    decisions.withColumn("p_day", F.date_format("warc_ts", "yyyy-MM-dd")) \
-        .write.mode("append").partitionBy("p_day").parquet(f"{out_dir}/decisions")
+    since = -1 if last is None else last
+    (decisions.withColumn("p_day", F.date_format("warc_ts", "yyyy-MM-dd"))
+     .write.mode("overwrite").partitionBy("p_day")
+     .parquet(f"{out_dir}/decisions/since_snapshot={since}"))
     n = obs.get["n"]
     for df_p in persisted:
         df_p.unpersist()
@@ -86,8 +96,11 @@ def stream_pages(spark: SparkSession, table: SnapshotTable, out_dir: str,
 
     ``dropDuplicatesWithinWatermark`` on url covers re-arrivals inside the
     watermark horizon (the store_modified_files_only analogue,
-    config/config.yml:33-36); exactly-once sink semantics come from the
-    checkpointed foreachBatch epoch id.
+    config/config.yml:33-36).  Exactly-once sink EFFECT: each micro-batch
+    writes to its own ``epoch=<epoch_id>`` directory with overwrite, so a
+    replayed epoch (foreachBatch is at-least-once) overwrites its previous
+    partial output instead of appending a duplicate copy.  Readers see one
+    extra partition column (``epoch``) on the decisions root.
     """
     stream = (
         spark.readStream.schema(PAGES_SCHEMA)
@@ -99,8 +112,8 @@ def stream_pages(spark: SparkSession, table: SnapshotTable, out_dir: str,
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         decisions = build_pipeline(batch_df, spark, profile, dedupe=False)
         (decisions.withColumn("p_day", F.date_format("warc_ts", "yyyy-MM-dd"))
-         .write.mode("append").partitionBy("p_day")
-         .parquet(f"{out_dir}/decisions"))
+         .write.mode("overwrite").partitionBy("p_day")
+         .parquet(f"{out_dir}/decisions/epoch={epoch_id}"))
 
     writer = (
         stream.writeStream.foreachBatch(sink)

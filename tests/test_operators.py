@@ -72,6 +72,41 @@ def test_connected_components(spark):
     assert comp[10] == comp[11] == 10
 
 
+def test_connected_components_star_contraction_random_graph(spark):
+    """Large-star/small-star vs a python union-find golden on a random graph
+    (chains, cycles, crossing edges — the shapes min-label loops get slow on)."""
+    import random
+
+    from cfht2caom2_spark.operators.dedup import connected_components
+
+    rng = random.Random(42)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges += [(i, i + 1) for i in range(300, 340)]          # a 41-node chain
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for n in parent:
+        want.setdefault(find(n), set()).add(n)
+    golden = {n: min(mem) for root, mem in want.items() for n in mem}
+
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == golden
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     rng = np.random.RandomState(7)
@@ -132,12 +167,16 @@ def test_host_lang_consensus_backfill(spark):
         ("https://a.com/1", "fr", 0.9), ("https://a.com/2", "fr", 0.8),
         ("https://a.com/3", "en", 0.7), ("https://a.com/4", "de", 0.1),
         ("https://b.com/1", "es", 0.05),  # no confident votes on b.com
+        # c.com: 1 de vote vs 1 en vote — tie must break to the FIRST lang
+        # ascending (same semantics as q_source_lang_consensus)
+        ("https://c.com/1", "en", 0.9), ("https://c.com/2", "de", 0.9),
     ]
     df = spark.createDataFrame(rows, "url string, lang_pred string, lang_conf double")
     cons = {r["host"]: (r["consensus_lang"], r["n_votes"])
             for r in host_lang_consensus(df, min_conf=0.5).collect()}
     assert cons["a.com"] == ("fr", 2)
     assert "b.com" not in cons
+    assert cons["c.com"] == ("de", 1)  # tie -> lexically first lang
     out = {r["url"]: (r["lang_final"], r["lang_source"])
            for r in with_host_lang_backfill(df, min_conf=0.5).collect()}
     assert out["https://a.com/4"] == ("fr", "host_consensus")   # adopted
@@ -172,6 +211,10 @@ def test_python_minhash_matches_jvm(spark):
         "one two",
         "single",
         "Mixed CASE Text with   extra  whitespace and\nnewlines in it here",
+        # U+00A0 (what extract_html emits for &nbsp;) is NOT a separator in
+        # the JVM \s class — the Python path must agree
+        "non breaking space words glued by unicode whitespace here",
+        "a b c d e f g h",
     ]
     perms = _perm_params(32)
     A = np.array([a for a, _ in perms], dtype=np.int64)

@@ -129,6 +129,43 @@ def test_fused_equals_unfused(spark):
     assert rows_a == rows_b
 
 
+def test_host_backfill_adopts_consensus_in_pipeline(spark):
+    """profile.host_lang_backfill wires hostnorm into the main visit (the
+    reference runs sibling-backfill inside the visit, instruments.py:1951-2019):
+    a low-confidence page on a monolingual host adopts the host language and
+    is rescued from the lang_conf gate; without the flag it is dropped."""
+    import datetime as dt
+
+    from cfht2caom2_spark.config import RuleProfile
+    from cfht2caom2_spark.sources.pages import PAGES_SCHEMA
+
+    en = ("the people in the town walk to the market every morning and the "
+          "children play in the park while the old men talk about the "
+          "weather and the price of bread near the harbor gate %d")
+    ambiguous = "la casa the house das haus le chat"   # conf ~0.11 -> adopts
+    t0 = dt.datetime(2025, 6, 1)
+    rows = [(f"https://mono.example/p/{i}", t0 + dt.timedelta(hours=i), None,
+             en % i, "en") for i in range(3)]
+    rows.append(("https://mono.example/p/9", t0, None, ambiguous, "en"))
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    lenient = dict(min_words=5, min_stopword_frac=0.0)
+
+    on = RuleProfile(host_lang_backfill=True, **lenient)
+    got = {r["url"]: r for r in
+           build_pipeline(pages, spark, profile=on, dedupe=False).collect()}
+    adopted = got["https://mono.example/p/9"]
+    assert adopted["lang_source"] == "host_consensus"
+    assert adopted["lang_pred"] == "en"
+    assert adopted["keep"], adopted["rules"]
+    assert all(got[u]["lang_source"] == "model" for u in got
+               if u != "https://mono.example/p/9")
+
+    off = RuleProfile(**lenient)
+    got_off = {r["url"]: r for r in
+               build_pipeline(pages, spark, profile=off, dedupe=False).collect()}
+    assert "lang_conf" in got_off["https://mono.example/p/9"]["rules"]
+
+
 def test_exact_duplicate_collapse_before_minhash(spark):
     """Byte-identical content on different urls: one canonical survives, the
     rest are exact_duplicate (and never reach the minhash join)."""

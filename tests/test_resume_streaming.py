@@ -75,6 +75,28 @@ def test_snapshot_incremental_state_mode(spark, store, tmp_path):
     assert process_increment(spark, table, out, bm)["processed"] == 0
 
 
+def test_state_tick_idempotent_on_crash_replay(spark, tmp_path):
+    """A crash between the decisions write and the bookmark write must not
+    duplicate rows: the retried tick overwrites the same since_snapshot
+    directory with a superset range (exactly-once effect)."""
+    import os
+
+    table = SnapshotTable(f"{tmp_path}/pages")
+    table.append(synth_pages(spark, 80))
+    bm = str(tmp_path / "bm.json")
+    out = str(tmp_path / "out")
+    t1 = process_increment(spark, table, out, bm)
+    assert t1["processed"] == 80
+    # simulate the crash: bookmark write never happened, new data arrived
+    os.remove(bm)
+    table.append(synth_pages(spark, 40).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("interval 30 days")))
+    t2 = process_increment(spark, table, out, bm)
+    assert t2["processed"] == 120
+    dec = spark.read.parquet(f"{out}/decisions")
+    assert dec.count() == 120  # superset overwrite, not 80 + 120 appended
+
+
 def test_structured_streaming_available_now(spark, store, tmp_path):
     table, sid, root = store
     out = str(tmp_path / "stream_out")
