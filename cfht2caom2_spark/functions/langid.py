@@ -80,6 +80,14 @@ class TrigramLangID:
         rows.append([self.floor[l] for l in self.langs])
         self.score_matrix = np.array(rows, dtype=np.float64)
         self.floor_row = len(all_grams)
+        # sorted-id + row-permutation arrays: gram-id -> row resolves with one
+        # np.searchsorted instead of a python dict.get per unique gram (the
+        # dict path profiled at ~40% of predict_one)
+        ids = np.fromiter(self.rowmap.keys(), dtype=np.int64, count=len(self.rowmap))
+        order = np.argsort(ids)
+        self._sorted_ids = ids[order]
+        self._sorted_rows = np.fromiter(
+            self.rowmap.values(), dtype=np.int64, count=len(self.rowmap))[order]
 
     def predict_one(self, text: str | None) -> tuple[str, float]:
         if not text:
@@ -102,10 +110,12 @@ class TrigramLangID:
             .astype(np.int64)
         ids = (codes[:-2] << 32) | (codes[1:-1] << 16) | codes[2:]
         uniq, counts = np.unique(ids, return_counts=True)
-        rm = self.rowmap
-        fr = self.floor_row
-        idx = np.fromiter((rm.get(u, fr) for u in uniq.tolist()),
-                          dtype=np.int64, count=len(uniq))
+        # vectorized id->row: searchsorted into the sorted gram-id array,
+        # misses fall to the floor row (exactly rowmap.get(u, floor_row))
+        pos = np.searchsorted(self._sorted_ids, uniq)
+        pos[pos >= len(self._sorted_ids)] = 0
+        hit = self._sorted_ids[pos] == uniq
+        idx = np.where(hit, self._sorted_rows[pos], self.floor_row)
         acc = counts @ self.score_matrix[idx]
         # script gating: zh competes only when CJK is actually present
         zh_ok = cjk / max(n, 1) > 0.05

@@ -56,6 +56,17 @@ class BigramLM:
             self.models_int[lang] = {
                 (ord(bg[0]) << 16) | ord(bg[1]): lp for bg, lp in model.items()
             }
+        # sorted-id + logprob arrays per lang: bigram-id -> logprob resolves
+        # with one np.searchsorted instead of a python dict.get per unique
+        # bigram (same exact semantics, vectorized)
+        import numpy as np
+
+        self._sorted: dict[str, tuple] = {}
+        for lang, mi in self.models_int.items():
+            ids = np.fromiter(mi.keys(), dtype=np.int64, count=len(mi))
+            lps = np.fromiter(mi.values(), dtype=np.float64, count=len(mi))
+            order = np.argsort(ids)
+            self._sorted[lang] = (ids[order], lps[order])
 
     SAMPLE_CHARS = 1000
 
@@ -67,7 +78,8 @@ class BigramLM:
         if not text:
             return float("inf")
         lang = lang if lang in self.models_int else "en"
-        model, floor = self.models_int[lang], self.floors[lang]
+        floor = self.floors[lang]
+        sorted_ids, sorted_lps = self._sorted[lang]
         sample = " " + _RE_WS.sub(" ", text[: self.SAMPLE_CHARS].lower()) + " "
         codes = np.frombuffer(sample.encode("utf-16-le"), dtype=np.uint16)
         n = len(codes) - 1
@@ -75,8 +87,10 @@ class BigramLM:
             return float("inf")
         ids = (codes[:-1].astype(np.int64) << 16) | codes[1:]
         uniq, counts = np.unique(ids, return_counts=True)
-        logps = np.fromiter((model.get(int(u), floor) for u in uniq),
-                            dtype=np.float64, count=len(uniq))
+        pos = np.searchsorted(sorted_ids, uniq)
+        pos[pos >= len(sorted_ids)] = 0
+        hit = sorted_ids[pos] == uniq
+        logps = np.where(hit, sorted_lps[pos], floor)
         total = float(np.dot(counts, logps))
         return 2.0 ** (-total / n)
 

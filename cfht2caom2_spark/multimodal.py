@@ -95,6 +95,69 @@ def extract_features(df: DataFrame, decode_backend: str = "fake",
     return df.mapInPandas(run, schema=schema)
 
 
+def _fake_pixels(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic grayscale pixel grid derived from the payload bytes —
+    the fake decode half of the resize stage (a real backend replaces ONLY
+    this with PIL/ffmpeg; the resample math below is the real kernel)."""
+    digest = hashlib.sha256(payload).digest()
+    n = width * height
+    raw = (digest * (n // len(digest) + 1))[:n]
+    return np.frombuffer(raw, dtype=np.uint8).reshape(height, width)
+
+
+def _bilinear_resize(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Vectorized bilinear resample (align-corners) — pure numpy."""
+    in_h, in_w = px.shape
+    ys = np.linspace(0, in_h - 1, out_h)
+    xs = np.linspace(0, in_w - 1, out_w)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, in_h - 1)
+    x1 = np.minimum(x0 + 1, in_w - 1)
+    wy = (ys - y0)[:, None]
+    wx = (xs - x0)[None, :]
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    return np.clip(top * (1 - wy) + bot * wy, 0, 255).astype(np.uint8)
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  decode_backend: str = "fake",
+                  payload_col: str = "payload") -> DataFrame:
+    """Resize stage (decode -> bilinear resample -> re-encode), one Arrow
+    pass.  Output rows keep the input schema with ``payload`` replaced by the
+    resized raw bytes and ``meta.width/height`` updated; non-image rows and
+    empty payloads pass through unchanged.  Fake backend: hash-derived pixel
+    grid + REAL numpy bilinear resample, so batch shape, schema evolution and
+    the resample kernel are all tested; real backend raises at decode."""
+    schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for payload, kind, meta in zip(pdf[payload_col], pdf["kind"],
+                                           pdf["meta"]):
+                if (kind != "image" or payload is None or len(payload) == 0
+                        or meta is None or not meta.get("width")):
+                    payloads.append(payload)
+                    metas.append(meta)
+                    continue
+                if decode_backend == "fake":
+                    px = _fake_pixels(bytes(payload), meta["width"], meta["height"])
+                else:
+                    px = _decode_real(bytes(payload), kind)
+                resized = _bilinear_resize(px, width, height)
+                payloads.append(resized.tobytes())
+                metas.append({**meta, "width": width, "height": height})
+            out = pdf.copy()
+            out[payload_col] = payloads
+            out["meta"] = metas
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per sampled frame timestamp,
     derived from meta.duration_ms — pure exploded projection; the actual

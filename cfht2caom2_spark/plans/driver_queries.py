@@ -109,6 +109,72 @@ FROM t
 
 
 # --------------------------------------------------------------------------
+# P11b — n-gram repetition statistics (Gopher dup-ngram family)
+# --------------------------------------------------------------------------
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition gates beyond repeated lines (Rae et al. 2021
+    Table A1 dup-ngram family): fraction of word 2-grams occupied by the most
+    frequent 2-gram, and the distinct-2-gram fraction.  Pure array
+    expressions — the per-doc "most frequent" comes from ONE fold over the
+    sorted 2-gram array (longest equal run), no explode/shuffle."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    docs = docs.withColumn("_toks", Q.tokens(F.col("text")))
+    t = F.col("_toks")
+    n = F.size(t)
+    win = F.greatest(n - 1, F.lit(1))
+    grams = F.zip_with(F.slice(t, 1, win), F.slice(t, 2, win),
+                       lambda a, b: F.concat_ws(" ", a, b))
+    sorted_g = F.array_sort(grams)
+    acc0 = F.struct(F.lit("").alias("prev"),
+                    F.lit(0).cast("bigint").alias("run"),
+                    F.lit(0).cast("bigint").alias("best"))
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1) \
+            .otherwise(F.lit(1).cast("bigint"))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        F.greatest(acc["best"], run).alias("best"))
+
+    best = F.aggregate(sorted_g, acc0, step, lambda a: a["best"])
+    has_grams = n >= 2
+    return docs.select(
+        "doc_id",
+        F.when(has_grams, best.cast("double") / (n - 1).cast("double"))
+        .otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        F.when(has_grams,
+               F.size(F.array_distinct(grams)).cast("double")
+               / (n - 1).cast("double"))
+        .otherwise(F.lit(1.0)).alias("distinct_bigram_frac"),
+    )
+
+
+Q_REPETITION_STATS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2
+),
+c AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram
+),
+m AS (
+  SELECT doc_id,
+         max(cnt)::DOUBLE / sum(cnt)::DOUBLE AS top_bigram_frac,
+         count(*)::DOUBLE / sum(cnt)::DOUBLE AS distinct_bigram_frac
+  FROM c GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(m.top_bigram_frac, 0.0) AS top_bigram_frac,
+       coalesce(m.distinct_bigram_frac, 1.0) AS distinct_bigram_frac
+FROM t LEFT JOIN m USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # P14 — keep/drop decision from heuristic rules only (documents)
 # --------------------------------------------------------------------------
 
@@ -162,6 +228,44 @@ r AS (
 SELECT doc_id, coalesce(array_to_string(rules, ','), '') AS rules_str,
        coalesce(len(rules), 0) = 0 AS keep
 FROM r
+"""
+
+
+# --------------------------------------------------------------------------
+# A4 — cube statistics over preview artifacts (documents)
+# --------------------------------------------------------------------------
+
+def q_preview_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(lang, length-bucket) over the preview projection (snippet +
+    display stats) — the gallery-view report.  Reference analogue: preview
+    rendering computes display statistics per artifact
+    (/root/reference/cfht2caom2/preview_augmentation.py zscale cuts)."""
+    docs = _t(spark, sf_dir, "documents")
+    prev = docs.select(
+        "lang",
+        (F.floor(F.length("text") / 500) * 500).cast("bigint").alias("len_bucket"),
+        F.substring("text", 1, 200).alias("snippet"),
+    )
+    return (
+        prev.cube("lang", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_previews"),
+            F.avg(F.length("snippet").cast("double")).alias("avg_snippet_len"),
+        )
+    )
+
+
+Q_PREVIEW_STATS_SQL = """
+WITH prev AS (
+  SELECT lang,
+         (floor(length(text) / 500) * 500)::BIGINT AS len_bucket,
+         substr(text, 1, 200) AS snippet
+  FROM documents
+)
+SELECT lang, len_bucket, count(*)::BIGINT AS n_previews,
+       avg(length(snippet)::DOUBLE) AS avg_snippet_len
+FROM prev
+GROUP BY CUBE (lang, len_bucket)
 """
 
 
@@ -936,12 +1040,16 @@ QUERIES: dict[str, QueryFn] = {
     "q_langid_heuristic": q_langid_heuristic,
     "q_rule_report": q_rule_report,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_preview_stats": q_preview_stats,
+    "q_repetition_stats": q_repetition_stats,
 }
 
 ORACLES: dict[str, str] = {
     "q_text_stats": Q_TEXT_STATS_SQL,
     "q_quality_decision": Q_QUALITY_DECISION_SQL,
     "q_rule_report": Q_RULE_REPORT_SQL,
+    "q_preview_stats": Q_PREVIEW_STATS_SQL,
+    "q_repetition_stats": Q_REPETITION_STATS_SQL,
     "q_lang_report": Q_LANG_REPORT_SQL,
     "q_token_count": Q_TOKEN_COUNT_SQL,
     "q_fingerprint": Q_FINGERPRINT_SQL,

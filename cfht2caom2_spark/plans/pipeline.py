@@ -212,11 +212,13 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
 def run_batch(spark: SparkSession, pages: DataFrame, out_dir: str,
               profile: RuleProfile = DEFAULT_PROFILE,
               snapshot_id: int = 0, resume: bool = True,
-              dedupe: bool = True) -> dict:
+              dedupe: bool = True, previews: bool = True) -> dict:
     """Materializing driver: resume anti-join -> pipeline -> decisions +
-    lineage.  Decisions are written partitioned by day with dynamic partition
-    overwrite, so re-running a day is idempotent (exactly-once effect under
-    at-least-once execution — SURVEY §7.4 hard part (4))."""
+    previews + lineage.  Decisions are written partitioned by day with
+    dynamic partition overwrite, so re-running a day is idempotent
+    (exactly-once effect under at-least-once execution — SURVEY §7.4 hard
+    part (4)).  Previews (S11 derived artifacts) are projected from the
+    just-written day partitions — a narrow read-back, no pipeline recompute."""
     lineage_path = f"{out_dir}/lineage"
     decisions_path = f"{out_dir}/decisions"
     work = pages
@@ -248,10 +250,17 @@ def run_batch(spark: SparkSession, pages: DataFrame, out_dir: str,
     for df_p in persisted:
         df_p.unpersist()
 
+    # read-back restricted to the days just written: p_day is the partition
+    # column, so the isin filter partition-prunes at planning time and the
+    # downstream aggregates column-prune to the few columns they touch
     written = spark.read.parquet(decisions_path)
     done_days = [r["p_day"] for r in work.select(
         F.date_format("warc_ts", "yyyy-MM-dd").alias("p_day")).distinct().collect()]
     fresh = written.filter(F.col("p_day").isin(done_days))
+    if previews:
+        from ..operators.preview import write_previews
+
+        write_previews(fresh, f"{out_dir}/previews")
     lin = lineage_rows(fresh, profile, snapshot_id)
     write_lineage(lin, lineage_path)
     return {"processed": metrics["n"], "kept": metrics["kept"],

@@ -58,29 +58,31 @@ def _first_arrival_fn(emit_updates: bool, ttl_minutes: int | None):
                 r["text"].encode("utf-8") if r["text"] is not None else b"")
             return hashlib.md5(bytes(payload)).hexdigest()
 
-        out = []
-        if state.exists:
-            first_ts, content_md5 = state.get
+        # re-arrival chain semantics ("emit only if content changed") reduce
+        # to collapsing consecutive equal md5s: a skipped row always equals
+        # the running hash, so after any row i the running hash == md5[i] and
+        # row i emits iff md5[i] != md5[i-1] — one vectorized compare, no
+        # per-row python loop
+        md5s = rows.apply(md5_of, axis=1)
+        is_new_key = not state.exists
+        if is_new_key:
+            first_ts = int(rows["warc_ts"].iloc[0].value // 1000)
+            prev = md5s.shift(1)  # row 0 emits: NaN != md5
         else:
-            first = rows.iloc[0]
-            first_ts = int(first["warc_ts"].value // 1000)
-            content_md5 = md5_of(first)
-            out.append(first.to_dict() | {"is_rearrival": False})
-            rows = rows.iloc[1:]
-        for _, r in rows.iterrows():
-            # re-arrival: emit only if content changed (md5-compare semantics)
-            h = md5_of(r)
-            if h != content_md5:
-                content_md5 = h
-                out.append(r.to_dict() | {"is_rearrival": True})
-            elif emit_updates:
-                out.append(r.to_dict() | {"is_rearrival": True})
-        state.update((first_ts, content_md5))
+            first_ts, content_md5 = state.get
+            prev = md5s.shift(1, fill_value=content_md5)
+        changed = md5s.ne(prev)
+        mask = changed | emit_updates
+        out = rows[mask].copy()
+        out["is_rearrival"] = True
+        if is_new_key:
+            out.iloc[0, out.columns.get_loc("is_rearrival")] = False
+        state.update((first_ts, md5s.iloc[-1]))
         if ttl_minutes is not None:
             state.setTimeoutDuration(ttl_minutes * 60 * 1000)
-        if not out:
+        if out.empty:
             return iter(())
-        return iter([pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA])])
+        return iter([out[[f.name for f in OUTPUT_SCHEMA]]])
 
     return fn
 

@@ -43,6 +43,27 @@ def test_real_backend_is_clearly_stubbed(media):
         _decode_real(b"x", "image")
 
 
+def test_resize_images(media):
+    import numpy as np
+
+    from cfht2caom2_spark.multimodal import (_bilinear_resize, _fake_pixels,
+                                             resize_images)
+
+    out = {r["media_id"]: r for r in resize_images(media, 16, 12).collect()}
+    # images resized: payload is the 12x16 raw grid, meta updated
+    assert len(out[1]["payload"]) == 16 * 12
+    assert (out[1]["meta"]["width"], out[1]["meta"]["height"]) == (16, 12)
+    # matches the pure kernel byte-for-byte
+    want = _bilinear_resize(_fake_pixels(b"\x89PNG fake bytes 1", 64, 48), 16, 12)
+    assert bytes(out[1]["payload"]) == want.tobytes()
+    # non-image / empty rows pass through untouched
+    assert bytes(out[3]["payload"]) == b"\x00\x00ftyp fake"
+    assert out[4]["payload"] is None
+    # identity resize reproduces the source grid exactly (align-corners)
+    src = _fake_pixels(b"abc", 8, 6)
+    assert np.array_equal(_bilinear_resize(src, 8, 6), src)
+
+
 def test_frame_sample_plan(media):
     frames = frame_sample_plan(media, every_ms=1000).collect()
     # 3500 ms video sampled at 1000 ms -> ts 0,1000,2000,3000

@@ -44,6 +44,11 @@ def test_run_and_resume(spark, store):
     assert lineage.count() == 5
     sums = lineage.agg(F.sum("n_in").alias("s")).collect()[0]["s"]
     assert sums == N
+    # S11 preview sink: one derived artifact per KEPT doc, bounded snippet
+    previews = spark.read.parquet(f"{out}/previews")
+    assert previews.count() == r1["kept"]
+    assert {"url", "snippet", "n_chars", "lang_pred"} <= set(previews.columns)
+    assert previews.agg(F.max(F.length("snippet"))).collect()[0][0] <= 200
 
 
 def test_partial_lineage_resumes_missing_days_only(spark, store):
