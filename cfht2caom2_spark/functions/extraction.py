@@ -43,6 +43,8 @@ _RE_TAG = re.compile(rb"<[^>]*>")
 _RE_CHARSET = re.compile(rb"(?i)charset\s*=\s*[\"']?([A-Za-z0-9_\-]+)")
 _RE_SPACES = re.compile(r"[ \t\r\f\v]+")
 _RE_BLANK_LINES = re.compile(r"\n\s*\n+")
+# C0 controls except \t\n\r, plus C1 (127-159) — the binary-junk classes
+_RE_CTRL = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]")
 
 
 def detect_encoding(payload: bytes) -> str:
@@ -82,10 +84,11 @@ def extract_html(payload: bytes | None) -> str | None:
     # land there ~1/4 of the time.
     if text:
         sample = text[:4096]
-        n_ctrl = sum(
-            1 for ch in sample
-            if (ord(ch) < 32 and ch not in "\t\n\r") or 127 <= ord(ch) < 160
-        )
+        # same char class as the old per-char loop ((ord<32 and not \t\n\r)
+        # or 127<=ord<160), counted by the regex engine — the python loop was
+        # 85% of extraction time; real text has ~zero matches so findall is
+        # allocation-free in the common case
+        n_ctrl = len(_RE_CTRL.findall(sample))
         if n_ctrl / len(sample) > 0.05:
             return None
     text = _html.unescape(text)

@@ -48,7 +48,7 @@ def minhash_sig_py(text: str | None, A, B, k: int = 3):
     and dominates the whole pipeline, while one (n_shingles x n_perms) numpy
     broadcast is ~30 us."""
     import re
-    import zlib
+    from zlib import crc32
 
     import numpy as np
 
@@ -62,11 +62,19 @@ def minhash_sig_py(text: str | None, A, B, k: int = 3):
     # (word_shingles yields [array_join([], ' ')] = ['']); returning None here
     # would silently exclude such rows from dedup on the fused path only
     if len(toks) >= k:
-        shingles = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+        # hot loop: encode each token ONCE (not once per shingle it appears
+        # in), skip shingle dedup (duplicates cannot change a min), and keep
+        # the MERSENNE mod out of python — utf-8 is byte-compositional, so
+        # crc32(b"a b c") == crc32 of the joined-string encoding exactly
+        enc = [t.encode("utf-8") for t in toks]
+        n = len(toks) - k + 1
+        sp = b" "
+        h = np.fromiter(
+            (crc32(sp.join(w)) for w in zip(*[enc[j:] for j in range(k)])),
+            dtype=np.int64, count=n)
     else:
-        shingles = {" ".join(toks)}
-    h = np.fromiter((zlib.crc32(s.encode("utf-8")) % MERSENNE_31
-                     for s in shingles), dtype=np.int64, count=len(shingles))
+        h = np.array([crc32(" ".join(toks).encode("utf-8"))], dtype=np.int64)
+    h %= MERSENNE_31
     sig = (h[:, None] * A + B) % MERSENNE_31
     return sig.min(axis=0).tolist()
 
