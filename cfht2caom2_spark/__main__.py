@@ -29,6 +29,14 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--snapshot-id", type=int, default=0)
     b.add_argument("--no-dedupe", action="store_true")
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--no-previews", action="store_true")
+    b.add_argument("--dedup-policy", choices=["pairs", "clusters"],
+                   default="pairs",
+                   help="near-dup removal: pair-dominance (default) or "
+                        "keep-earliest-per-connected-component")
+    b.add_argument("--host-backfill", action="store_true",
+                   help="adopt the host's consensus language for "
+                        "low-confidence predictions")
 
     s = sub.add_parser("state", help="incremental snapshot-range tick")
     s.add_argument("--table", required=True, help="SnapshotTable root")
@@ -58,10 +66,18 @@ def main(argv: list[str] | None = None) -> int:
         pages = spark.read.parquet(args.pages)
         if "p_day" in pages.columns:
             pages = pages.drop("p_day")
-        result = run_batch(spark, pages, args.out,
+        from dataclasses import replace
+
+        from .config import DEFAULT_PROFILE
+
+        profile = replace(DEFAULT_PROFILE,
+                          dedup_policy=args.dedup_policy,
+                          host_lang_backfill=args.host_backfill)
+        result = run_batch(spark, pages, args.out, profile=profile,
                            snapshot_id=args.snapshot_id,
                            resume=not args.no_resume,
-                           dedupe=not args.no_dedupe)
+                           dedupe=not args.no_dedupe,
+                           previews=not args.no_previews)
         print(json.dumps(result))
     elif args.mode == "state":
         from .sources.table import SnapshotTable

@@ -79,6 +79,11 @@ class RuleProfile:
     minhash_rows_per_band: int = 4
     shingle_size: int = 3                # word 3-shingles
     dedup_jaccard: float = 0.8
+    # "pairs": drop docs near-dup of ANY earlier doc (one-pass, fully lazy —
+    # the production default).  "clusters": connected components over the
+    # verified-pair graph, keep the earliest doc per component (more
+    # aggressive on chains; runs star-contraction rounds eagerly).
+    dedup_policy: str = "pairs"
     # Host-consensus language backfill (J4-J6 sibling backfill inside the
     # main visit, reference instruments.py:1951-2019): a low-confidence
     # prediction adopts its host's majority language and is thereby exempt

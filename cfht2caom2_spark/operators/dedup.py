@@ -335,11 +335,39 @@ def connected_components_small(pairs: DataFrame, max_iter: int = 20) -> DataFram
     return connected_components(pairs, max_rounds=max_iter)
 
 
+def cluster_losers(pairs: DataFrame, keyed: DataFrame,
+                   id_col: str = "_id", ord_col: str = "_ord",
+                   max_rounds: int = 10) -> DataFrame:
+    """Transitive-closure loser selection: every doc in a near-dup component
+    except its earliest member (min (ord, id)) is dropped.
+
+    More aggressive than pair-dominance on CHAINS: if A~B and B~D but A is
+    not similar to D, pair-dominance keeps D (no earlier direct partner)
+    while the cluster policy drops it (same component as the earlier A) —
+    the semantics most published dedup pipelines call "cluster dedup"
+    (Lee et al. 2022 §3.2 keep-one-per-cluster).
+
+    ``keyed``: (id_col, ord_col) one row per id, supplies the ordering.
+    Returns a one-column DataFrame ``loser_id``.
+    """
+    comp = connected_components(pairs, max_rounds)
+    labeled = comp.join(
+        keyed.select(F.col(id_col).alias("node"), F.col(ord_col).alias("_o")),
+        "node")
+    w = Window.partitionBy("component").orderBy("_o", "node")
+    return (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(F.col("node").alias("loser_id"))
+    )
+
+
 def minhash_losers_from_sig(df: DataFrame, id_col: str, order_col: str,
                             sig_col: str = "minhash_sig",
                             bands: int = 8, rows_per_band: int = 4,
                             threshold: float = 0.8,
-                            persist_tracker: list | None = None) -> DataFrame:
+                            persist_tracker: list | None = None,
+                            policy: str = "pairs") -> DataFrame:
     """Near-dup losers from PRECOMPUTED signatures (the production path).
 
     Verification uses the standard MinHash similarity estimator — the
@@ -352,6 +380,15 @@ def minhash_losers_from_sig(df: DataFrame, id_col: str, order_col: str,
     Plan shape: slim (id, ord, sig) projection -> first-arrival-per-id window
     -> band explode -> ONE self-join on (band, key) -> estimator filter ->
     earliest-wins.  Only signatures shuffle; text never moves.
+
+    ``policy``: ``"pairs"`` (default) drops a doc that is near-dup of ANY
+    earlier doc — one-pass, fully lazy.  ``"clusters"`` labels connected
+    components of the verified-pair graph and keeps only the earliest doc
+    per component (more aggressive on chains; see ``cluster_losers``).
+    NOTE: the clusters policy runs the star-contraction iterations EAGERLY
+    (each round materializes via localCheckpoint), so the upstream plan
+    executes when this function is CALLED, not at the caller's action —
+    upstream frames should be persisted (build_pipeline does this).
     """
     from pyspark import StorageLevel
 
@@ -389,11 +426,18 @@ def minhash_losers_from_sig(df: DataFrame, id_col: str, order_col: str,
             lambda x: x == 1,
         )).cast("double") / F.lit(float(num_perms))
     )
-    pairs = (
+    verified = (
         l.join(r, ["band", "key"])
         .filter(F.col("l._id") < F.col("r._id"))
         .filter(est >= threshold)
-        .select(
+    )
+    if policy == "clusters":
+        pair_ids = verified.select(
+            F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b")
+        ).distinct()
+        return cluster_losers(pair_ids, keyed, "_id", "_ord")
+    return (
+        verified.select(
             F.when((F.col("l._ord") < F.col("r._ord"))
                    | ((F.col("l._ord") == F.col("r._ord"))
                       & (F.col("l._id") < F.col("r._id"))),
@@ -401,4 +445,3 @@ def minhash_losers_from_sig(df: DataFrame, id_col: str, order_col: str,
         )
         .distinct()
     )
-    return pairs

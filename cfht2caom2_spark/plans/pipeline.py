@@ -176,6 +176,7 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
                 rows_per_band=profile.minhash_rows_per_band,
                 threshold=profile.dedup_jaccard,
                 persist_tracker=persist_tracker,
+                policy=profile.dedup_policy,
             )
         else:
             losers = minhash_dedup_losers(

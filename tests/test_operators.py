@@ -72,6 +72,50 @@ def test_connected_components(spark):
     assert comp[10] == comp[11] == 10
 
 
+def test_cluster_losers_vs_pair_dominance_on_chain(spark):
+    """A~B, B~D, A!~D with order A<D<B: pair-dominance keeps D (no earlier
+    DIRECT partner) while the cluster policy drops it (same component as the
+    earlier A) — the defining divergence of the two policies."""
+    from cfht2caom2_spark.operators.dedup import cluster_losers
+
+    pairs = spark.createDataFrame(
+        [("A", "B"), ("B", "D")], "id_a string, id_b string")
+    keyed = spark.createDataFrame(
+        [("A", 1), ("D", 2), ("B", 3)], "_id string, _ord int")
+    losers = {r["loser_id"] for r in cluster_losers(pairs, keyed).collect()}
+    assert losers == {"B", "D"}  # component {A,B,D}: earliest A survives
+    # pair-dominance over the same graph: B loses (to A and to D); D has no
+    # earlier direct partner and survives
+    pair_losers = set()
+    order = {"A": 1, "D": 2, "B": 3}
+    for a, b in [("A", "B"), ("B", "D")]:
+        pair_losers.add(b if order[a] < order[b] else a)
+    assert pair_losers == {"B"}
+
+
+def test_pipeline_clusters_policy_resolves_cluster(spark):
+    """dedup_policy='clusters' in the flagship: the 3-member near-dup
+    fixture cluster still resolves to exactly one survivor."""
+    import re
+
+    from cfht2caom2_spark.config import RuleProfile
+    from cfht2caom2_spark.plans.pipeline import build_pipeline
+    from cfht2caom2_spark.sources.pages import synth_pages
+
+    prof = RuleProfile(dedup_policy="clusters")
+    out = build_pipeline(synth_pages(spark, 200), spark, profile=prof).collect()
+    clusters = {}
+    for r in out:
+        m = re.search(r"/p/(\d{9})", r["url"])
+        i = int(m.group(1))
+        if i % 100 in (86, 87, 88):
+            clusters.setdefault(i // 100, []).append(r)
+    assert clusters
+    for century, rows in clusters.items():
+        dups = [r for r in rows if "near_duplicate" in r["rules"]]
+        assert len(dups) == len(rows) - 1, (century, [r["rules"] for r in rows])
+
+
 def test_connected_components_star_contraction_random_graph(spark):
     """Large-star/small-star vs a python union-find golden on a random graph
     (chains, cycles, crossing edges — the shapes min-label loops get slow on)."""
