@@ -49,6 +49,11 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--continuous", action="store_true",
                     help="keep running (default: availableNow then exit)")
 
+    c = sub.add_parser("compact",
+                       help="cross-increment exact-dup compaction rewrite")
+    c.add_argument("--decisions", required=True, help="decisions store root")
+    c.add_argument("--out", required=True, help="compacted output root")
+
     g = sub.add_parser("synth", help="generate a synthetic pages table")
     g.add_argument("--out", required=True)
     g.add_argument("--rows", type=int, default=100_000)
@@ -93,6 +98,10 @@ def main(argv: list[str] | None = None) -> int:
         q = stream_pages(spark, SnapshotTable(args.table), args.out,
                          trigger_once=not args.continuous)
         q.awaitTermination()
+    elif args.mode == "compact":
+        from .operators.compact import compact_decisions
+
+        print(json.dumps(compact_decisions(spark, args.decisions, args.out)))
     elif args.mode == "synth":
         from .sources.pages import synth_pages
 

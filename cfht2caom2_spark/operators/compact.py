@@ -1,0 +1,84 @@
+"""Cross-increment decisions compaction — the obsolete-artifact cleanup pass.
+
+Reference analogue: ``cleanup_augmentation`` removes artifacts superseded by
+newer representations of the same content
+(/root/reference/cfht2caom2/cleanup_augmentation.py:77-147).  Web recast:
+state-mode ticks run with dedupe off (each tick sees only its increment —
+incremental.process_increment), so byte-identical content arriving in
+DIFFERENT increments survives in multiple kept rows.  This periodic pass
+re-ranks every kept row by content hash across the whole store and demotes
+all but the earliest (adds ``exact_duplicate`` to rules, flips ``keep``),
+writing a fresh canonical table — the same rewrite-don't-mutate shape as an
+Iceberg rewrite/compaction action.
+
+Scale shape: one window over (extracted_sha256) on a column-pruned read of
+the decisions store (hash + keys + decision columns; scrubbed_text rides
+only through the final projection), one day-partitioned write.  No joins,
+no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def demote_cross_increment_duplicates(decisions: DataFrame,
+                                      id_col: str = "url",
+                                      order_col: str = "warc_ts") -> DataFrame:
+    """Among KEPT rows sharing an extracted_sha256, keep the earliest by
+    (order_col, id_col); demote the rest: rules += exact_duplicate,
+    keep = false, scrubbed_text = null (stored artifacts are for kept docs
+    only).  Dropped rows and null-hash rows pass through unchanged."""
+    w = Window.partitionBy("extracted_sha256").orderBy(order_col, id_col)
+    contested = F.col("keep") & F.col("extracted_sha256").isNotNull()
+    ranked = decisions.withColumn(
+        "_rn",
+        F.when(contested, F.row_number().over(w)).otherwise(F.lit(None)))
+    # materialize the flag BEFORE mutating keep — column expressions bind
+    # late, so referencing keep after the keep-rewrite would see the new value
+    ranked = ranked.withColumn("_demote", contested & (F.col("_rn") > 1))
+    demote = F.col("_demote")
+    return (
+        ranked
+        .withColumn("rules",
+                    F.when(demote, F.array_sort(F.array_union(
+                        F.col("rules"), F.array(F.lit("exact_duplicate")))))
+                    .otherwise(F.col("rules")))
+        .withColumn("keep", F.col("keep") & ~demote)
+        .withColumn("scrubbed_text",
+                    F.when(demote, F.lit(None).cast("string"))
+                    .otherwise(F.col("scrubbed_text")))
+        .drop("_rn", "_demote")
+    )
+
+
+def compact_decisions(spark: SparkSession, decisions_path: str,
+                      out_path: str) -> dict:
+    """Read the accumulated decisions store, demote cross-increment exact
+    duplicates, write the canonical table day-partitioned to ``out_path``
+    (rewrite, not in-place mutation — rerunnable, old store untouched).
+
+    Returns {"rows": total, "demoted": n} via one ``observe`` riding the
+    write action."""
+    from pyspark.sql import Observation
+
+    # snapshot the pre-compaction keep flag BEFORE demotion so the metric
+    # compares against the original decision, not the rewritten one
+    decisions = spark.read.parquet(decisions_path) \
+        .withColumn("_was_kept", F.col("keep"))
+    compacted = demote_cross_increment_duplicates(decisions)
+    obs = Observation("compaction_metrics")
+    compacted = compacted.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("_was_kept") & ~F.col("keep"), 1).otherwise(0))
+        .alias("demoted"),
+    ).drop("_was_kept")
+    if "p_day" not in compacted.columns:
+        compacted = compacted.withColumn(
+            "p_day", F.date_format("warc_ts", "yyyy-MM-dd"))
+    (compacted.write.mode("overwrite").partitionBy("p_day")
+     .parquet(out_path))
+    m = obs.get
+    return {"rows": m["rows"], "demoted": m["demoted"]}

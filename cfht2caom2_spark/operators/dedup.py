@@ -307,6 +307,14 @@ def connected_components(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
     probe — "no dst is still a src", i.e. the graph is a star forest — is a
     left-semi ``isEmpty`` over those cached edges.
 
+    Cluster deployment note: ``localCheckpoint`` stores round results in
+    executor block storage, which is NOT replayable — losing an executor
+    mid-algorithm fails the job (a retry is correct, never corrupt).  On a
+    large cluster with preemptible executors, set
+    ``spark.sparkContext.setCheckpointDir`` and swap ``localCheckpoint()``
+    for ``checkpoint()`` — reliable storage, same semantics, one extra
+    write per round.
+
     Returns (node, component) with component = min node id of the cluster;
     nodes absent from ``pairs`` (singletons) are not returned.
     """

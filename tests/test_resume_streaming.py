@@ -102,6 +102,45 @@ def test_state_tick_idempotent_on_crash_replay(spark, tmp_path):
     assert dec.count() == 120  # superset overwrite, not 80 + 120 appended
 
 
+def test_cross_increment_compaction(spark, tmp_path):
+    """State ticks run with dedupe off; byte-identical content arriving in
+    two different increments must be demoted by the periodic compaction pass
+    (cleanup_augmentation analogue): earliest kept, later one gets
+    exact_duplicate + keep=false."""
+    import datetime as dt
+
+    from cfht2caom2_spark.config import RuleProfile
+    from cfht2caom2_spark.operators.compact import compact_decisions
+    from cfht2caom2_spark.sources.pages import PAGES_SCHEMA
+
+    prof = RuleProfile(min_words=5, min_stopword_frac=0.0)
+    text = ("the people walk to the market every morning and the children "
+            "play in the park while the old men talk about the weather")
+    t0 = dt.datetime(2025, 6, 1)
+    table = SnapshotTable(f"{tmp_path}/pages")
+    out = str(tmp_path / "out")
+    bm = str(tmp_path / "bm.json")
+    table.append(spark.createDataFrame(
+        [("https://a.com/1", t0, None, text, "en")], PAGES_SCHEMA))
+    assert process_increment(spark, table, out, bm, profile=prof)["processed"] == 1
+    # same content, different url, next increment
+    table.append(spark.createDataFrame(
+        [("https://b.com/1", t0 + dt.timedelta(days=1), None, text, "en")],
+        PAGES_SCHEMA))
+    assert process_increment(spark, table, out, bm, profile=prof)["processed"] == 1
+    dec = spark.read.parquet(f"{out}/decisions")
+    assert dec.filter("keep").count() == 2  # ticks never saw each other
+
+    res = compact_decisions(spark, f"{out}/decisions", f"{out}/compacted")
+    assert res == {"rows": 2, "demoted": 1}
+    rows = {r["url"]: r for r in
+            spark.read.parquet(f"{out}/compacted").collect()}
+    assert rows["https://a.com/1"]["keep"]
+    assert not rows["https://b.com/1"]["keep"]
+    assert "exact_duplicate" in rows["https://b.com/1"]["rules"]
+    assert rows["https://b.com/1"]["scrubbed_text"] is None
+
+
 def test_structured_streaming_available_now(spark, store, tmp_path):
     table, sid, root = store
     out = str(tmp_path / "stream_out")
