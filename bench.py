@@ -75,6 +75,14 @@ def run_suite() -> None:
         "sf": SF_DIR,
         "cpus": CPUS,
         "flagship_docs_per_sec": round(n_docs / flagship, 1) if flagship else None,
+        # north_rule two-cluster-size evidence, measured by `bench.py
+        # --scaling` (NOT re-measured on this invocation — full record and
+        # methodology in BASELINE.md "Measured scaling evidence")
+        "last_measured_scaling": {
+            "pair": "local[2]->local[8]", "rows": 320_000,
+            "docs_per_sec_n": 2627.8, "docs_per_sec_4n": 8994.9,
+            "efficiency": 0.856, "gate": ">=0.8", "source": "BASELINE.md",
+        },
     }))
     spark.stop()
 
