@@ -85,13 +85,13 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_TEXT_STATS_SQL = f"""
-WITH t AS (
+_STATS_CTE_SQL = f"""
   SELECT doc_id, text, {_TOKS} AS toks,
          list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lns
   FROM documents
-)
-SELECT doc_id,
+"""
+
+_STATS_EXPRS_SQL = f"""
   len(toks)::BIGINT AS n_words,
   coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
     / greatest(len(toks), 1)::DOUBLE AS mean_word_len,
@@ -104,6 +104,13 @@ SELECT doc_id,
   CASE WHEN len(lns) <= 0 THEN 0.0
        ELSE 1.0 - len(list_distinct(lns))::DOUBLE / len(lns)::DOUBLE
   END AS repeated_line_frac
+"""
+
+Q_TEXT_STATS_SQL = f"""
+WITH t AS ({_STATS_CTE_SQL.strip()}
+)
+SELECT doc_id,
+{_STATS_EXPRS_SQL.strip()}
 FROM t
 """
 
@@ -1011,6 +1018,74 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# End-to-end ORACLE-CHECKED pipeline sibling (documents)
+# --------------------------------------------------------------------------
+
+def q_pipeline_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every flagship stage EXCEPT the model UDFs, composed into one
+    hash-checked query: stats -> heuristic rules -> keep -> scrub (kept docs
+    only) -> exact-dup first-wins canonical flag.  The flagship itself gets
+    only a rows-only driver check (langid/perplexity have no SQL
+    equivalent); this sibling closes that gap with a full value-hash check
+    of the composed pipeline semantics."""
+    from ..functions.tokens import md5_fingerprint
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    text = F.col("text")
+    stats = docs.withColumn("_toks", Q.tokens(text)).select(
+        "doc_id", "text",
+        Q.n_words(F.col("_toks")).alias("n_words"),
+        Q.mean_word_len(F.col("_toks")).alias("mean_word_len"),
+        Q.symbol_ratio(text).alias("symbol_ratio"),
+        Q.stopword_frac(F.col("_toks"), "en").alias("stopword_frac"),
+        Q.alpha_word_frac(F.col("_toks")).alias("alpha_word_frac"),
+        Q.repeated_line_frac(text).alias("repeated_line_frac"),
+    )
+    w = Window.partitionBy(md5_fingerprint(F.col("text"))).orderBy("doc_id")
+    out = (
+        stats.withColumn("_rules", _doc_rules_array())
+        .withColumn("keep", F.size("_rules") == 0)
+        .withColumn("is_canonical", F.row_number().over(w) == 1)
+    )
+    return out.select(
+        "doc_id",
+        F.array_join("_rules", ",").alias("rules_str"),
+        "keep",
+        F.when(F.col("keep"), scrubbed(F.col("text"))).alias("scrubbed_text"),
+        "is_canonical",
+    )
+
+
+def _pipeline_heuristic_sql() -> str:
+    return f"""
+WITH t AS ({_STATS_CTE_SQL.strip()}
+),
+s AS (
+  SELECT doc_id, text,
+{_STATS_EXPRS_SQL.strip()}
+  FROM t
+),
+r AS (
+  SELECT doc_id, text,
+    list_sort(list_filter([{_DOC_RULE_CASES}], x -> x IS NOT NULL)) AS rules
+  FROM s
+)
+SELECT doc_id,
+  coalesce(array_to_string(rules, ','), '') AS rules_str,
+  coalesce(len(rules), 0) = 0 AS keep,
+  CASE WHEN coalesce(len(rules), 0) = 0
+       THEN {_scrub_sql_chain('text')} END AS scrubbed_text,
+  (row_number() OVER (
+     PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+     ORDER BY doc_id) = 1) AS is_canonical
+FROM r
+"""
+
+
+Q_PIPELINE_HEURISTIC_SQL = _pipeline_heuristic_sql()
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_text_stats": q_text_stats,
     "q_quality_decision": q_quality_decision,
@@ -1042,6 +1117,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_preview_stats": q_preview_stats,
     "q_repetition_stats": q_repetition_stats,
+    "q_pipeline_heuristic": q_pipeline_heuristic,
 }
 
 ORACLES: dict[str, str] = {
@@ -1050,6 +1126,7 @@ ORACLES: dict[str, str] = {
     "q_rule_report": Q_RULE_REPORT_SQL,
     "q_preview_stats": Q_PREVIEW_STATS_SQL,
     "q_repetition_stats": Q_REPETITION_STATS_SQL,
+    "q_pipeline_heuristic": Q_PIPELINE_HEURISTIC_SQL,
     "q_lang_report": Q_LANG_REPORT_SQL,
     "q_token_count": Q_TOKEN_COUNT_SQL,
     "q_fingerprint": Q_FINGERPRINT_SQL,
@@ -1076,6 +1153,8 @@ ORACLES: dict[str, str] = {
     "q_merge_last_wins": Q_MERGE_LAST_WINS_SQL,
     "q_langid_heuristic": Q_LANGID_HEURISTIC_SQL,
 }
+
+
 
 
 # queries with no SQL-expressible oracle (model UDFs / full pipeline):
