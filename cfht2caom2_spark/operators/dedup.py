@@ -323,6 +323,15 @@ def connected_components(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
         F.least("id_a", "id_b").alias("dst"),
     ).filter(F.col("src") != F.col("dst")).distinct()
     edges = edges.localCheckpoint()
+    # duplicate graphs are typically tiny relative to the corpus: size the
+    # iteration's partitioning to the ACTUAL edge count (the count is free —
+    # edges are already materialized) so a small graph doesn't pay
+    # 32-task scheduling overhead per star round
+    n_edges = edges.count()
+    cur = edges.rdd.getNumPartitions()
+    target = max(1, min(cur, n_edges // 50_000 + 1))
+    if target < cur:
+        edges = edges.repartition(target).localCheckpoint()
     for _ in range(max_rounds):
         edges = _small_star(_large_star(edges)).localCheckpoint()
         non_star = edges.alias("a").join(
