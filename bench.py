@@ -75,16 +75,24 @@ def run_suite() -> None:
         "sf": SF_DIR,
         "cpus": CPUS,
         "flagship_docs_per_sec": round(n_docs / flagship, 1) if flagship else None,
-        # north_rule two-cluster-size evidence, measured by `bench.py
-        # --scaling` (NOT re-measured on this invocation — full record and
+        # north_rule two-cluster-size evidence, recorded by the most recent
+        # `bench.py --scaling` run (NOT re-measured on this invocation —
         # methodology in BASELINE.md "Measured scaling evidence")
-        "last_measured_scaling": {
-            "pair": "local[2]->local[8]", "rows": 320_000,
-            "docs_per_sec_n": 2627.8, "docs_per_sec_4n": 8994.9,
-            "efficiency": 0.856, "gate": ">=0.8", "source": "BASELINE.md",
-        },
+        "last_measured_scaling": _read_scaling_evidence(),
     }))
     spark.stop()
+
+
+_EVIDENCE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".scaling_evidence.json")
+
+
+def _read_scaling_evidence() -> dict | None:
+    try:
+        with open(_EVIDENCE_PATH) as fh:
+            return json.load(fh)
+    except Exception:
+        return None
 
 
 # ---------------------------------------------------------------------------
@@ -197,6 +205,17 @@ def run_scaling(n_rows: int = 320_000) -> None:
         }
     summary["value"] = summary["pairs"][f"{pairs[0][0]}->{pairs[0][1]}"]["efficiency"]
     print(json.dumps(summary))
+    first = summary["pairs"][f"{pairs[0][0]}->{pairs[0][1]}"]
+    with open(_EVIDENCE_PATH, "w") as fh:
+        json.dump({
+            "pair": f"local[{pairs[0][0]}]->local[{pairs[0][1]}]",
+            "rows": n_rows,
+            "docs_per_sec_n": first["docs_per_sec_n"],
+            "docs_per_sec_4n": first["docs_per_sec_4n"],
+            "efficiency": first["efficiency"], "gate": ">=0.8",
+            "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+            "source": "bench.py --scaling; methodology in BASELINE.md",
+        }, fh)
 
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
     lines = [

@@ -88,6 +88,10 @@ class TrigramLangID:
         self._sorted_ids = ids[order]
         self._sorted_rows = np.fromiter(
             self.rowmap.values(), dtype=np.int64, count=len(self.rowmap))[order]
+        # the python dicts are construction scaffolding only — scoring reads
+        # the arrays; dropping them halves what the broadcast ships to every
+        # executor and what each task deserializes
+        del self.rowmap, self.logprob
 
     def predict_one(self, text: str | None) -> tuple[str, float]:
         if not text:

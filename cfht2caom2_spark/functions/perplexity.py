@@ -67,6 +67,9 @@ class BigramLM:
             lps = np.fromiter(mi.values(), dtype=np.float64, count=len(mi))
             order = np.argsort(ids)
             self._sorted[lang] = (ids[order], lps[order])
+        # the python dicts are construction scaffolding only — scoring reads
+        # the arrays; dropping them shrinks the broadcast every task ships
+        del self.models, self.models_int
 
     SAMPLE_CHARS = 1000
 
@@ -77,7 +80,7 @@ class BigramLM:
 
         if not text:
             return float("inf")
-        lang = lang if lang in self.models_int else "en"
+        lang = lang if lang in self._sorted else "en"
         floor = self.floors[lang]
         sorted_ids, sorted_lps = self._sorted[lang]
         sample = " " + _RE_WS.sub(" ", text[: self.SAMPLE_CHARS].lower()) + " "

@@ -139,7 +139,8 @@ def resize_images(df: DataFrame, width: int, height: int,
             for payload, kind, meta in zip(pdf[payload_col], pdf["kind"],
                                            pdf["meta"]):
                 if (kind != "image" or payload is None or len(payload) == 0
-                        or meta is None or not meta.get("width")):
+                        or meta is None or not meta.get("width")
+                        or not meta.get("height")):
                     payloads.append(payload)
                     metas.append(meta)
                     continue

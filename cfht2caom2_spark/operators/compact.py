@@ -30,8 +30,12 @@ def demote_cross_increment_duplicates(decisions: DataFrame,
     (order_col, id_col); demote the rest: rules += exact_duplicate,
     keep = false, scrubbed_text = null (stored artifacts are for kept docs
     only).  Dropped rows and null-hash rows pass through unchanged."""
-    w = Window.partitionBy("extracted_sha256").orderBy(order_col, id_col)
     contested = F.col("keep") & F.col("extracted_sha256").isNotNull()
+    # rank CONTESTED rows first within the hash partition — a when() around
+    # row_number only masks the OUTPUT, it does not exclude non-kept rows
+    # from consuming rank 1, which would demote the earliest kept row
+    w = Window.partitionBy("extracted_sha256").orderBy(
+        contested.desc(), F.col(order_col), F.col(id_col))
     ranked = decisions.withColumn(
         "_rn",
         F.when(contested, F.row_number().over(w)).otherwise(F.lit(None)))

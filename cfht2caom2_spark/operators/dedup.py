@@ -334,12 +334,23 @@ def connected_components(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
         edges = edges.repartition(target).localCheckpoint()
     for _ in range(max_rounds):
         edges = _small_star(_large_star(edges)).localCheckpoint()
+        # converged iff the edge set IS a star forest: every src points to
+        # exactly one dst AND no dst is itself a src.  (The second condition
+        # alone is NOT sufficient — a node attached to two different roots
+        # has no dst-as-src yet the component is still split.)
         non_star = edges.alias("a").join(
             edges.alias("b"), F.col("a.dst") == F.col("b.src"), "left_semi")
-        if non_star.isEmpty():
+        multi_parent = (edges.groupBy("src")
+                        .agg(F.count(F.lit(1)).alias("_n"))
+                        .filter(F.col("_n") > 1))
+        if non_star.isEmpty() and multi_parent.isEmpty():
             break
     labels = edges.select(F.col("src").alias("node"),
                           F.col("dst").alias("component"))
+    # safety net for max_rounds exhaustion on a pathological graph: collapse
+    # any residual multi-parent rows to one deterministic label so callers
+    # (loser joins) never see duplicate node rows
+    labels = labels.groupBy("node").agg(F.min("component").alias("component"))
     roots = (edges.select(F.col("dst").alias("node")).distinct()
              .join(edges.select(F.col("src").alias("node")).distinct(),
                    "node", "left_anti")

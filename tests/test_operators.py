@@ -116,6 +116,31 @@ def test_pipeline_clusters_policy_resolves_cluster(spark):
         assert len(dups) == len(rows) - 1, (century, [r["rules"] for r in rows])
 
 
+def test_connected_components_two_root_counterexample(spark):
+    """Regression: after one star round the graph {(1,7),(3,7),(3,8),(2,8)}
+    becomes {(3,1),(7,1),(3,2),(8,2)} — no dst is a src, yet node 3 still has
+    TWO parents, so a probe checking only dst-as-src exits with the component
+    split and duplicate node labels.  The probe must also require single
+    parents."""
+    from cfht2caom2_spark.operators.dedup import (cluster_losers,
+                                                  connected_components)
+
+    pairs = spark.createDataFrame(
+        [(1, 7), (3, 7), (3, 8), (2, 8)], "id_a bigint, id_b bigint")
+    comp = connected_components(pairs).collect()
+    labels = {}
+    for r in comp:
+        assert r["node"] not in labels, f"duplicate label for {r['node']}"
+        labels[r["node"]] = r["component"]
+    assert set(labels.values()) == {1}          # ONE component, rooted at 1
+    assert set(labels) == {1, 2, 3, 7, 8}
+    keyed = spark.createDataFrame(
+        [(n, n) for n in (1, 2, 3, 7, 8)], "_id bigint, _ord bigint")
+    losers = sorted(r["loser_id"] for r in
+                    cluster_losers(pairs, keyed).collect())
+    assert losers == [2, 3, 7, 8]               # earliest (1) survives
+
+
 def test_connected_components_star_contraction_random_graph(spark):
     """Large-star/small-star vs a python union-find golden on a random graph
     (chains, cycles, crossing edges — the shapes min-label loops get slow on)."""

@@ -141,6 +141,30 @@ def test_cross_increment_compaction(spark, tmp_path):
     assert rows["https://b.com/1"]["scrubbed_text"] is None
 
 
+def test_compaction_ignores_non_kept_rows_in_ranking(spark, tmp_path):
+    """Regression: a DROPPED row sharing the content hash must not consume
+    rank 1 and get the earliest KEPT row demoted — content would end with
+    zero kept rows."""
+    import datetime as dt
+
+    from cfht2caom2_spark.operators.compact import (
+        demote_cross_increment_duplicates)
+
+    t0 = dt.datetime(2025, 6, 1)
+    rows = [
+        ("https://a.com/1", t0, "sha_X", False, ["too_short"], None),
+        ("https://b.com/1", t0 + dt.timedelta(hours=1), "sha_X", True, [], "text"),
+    ]
+    dec = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, extracted_sha256 string, "
+              "keep boolean, rules array<string>, scrubbed_text string")
+    out = {r["url"]: r for r in
+           demote_cross_increment_duplicates(dec).collect()}
+    assert out["https://b.com/1"]["keep"]       # only kept row survives
+    assert not out["https://a.com/1"]["keep"]   # dropped row unchanged
+    assert "exact_duplicate" not in out["https://a.com/1"]["rules"]
+
+
 def test_structured_streaming_available_now(spark, store, tmp_path):
     table, sid, root = store
     out = str(tmp_path / "stream_out")
