@@ -37,7 +37,7 @@ BENCH_QUERIES = [
     "q_semi_join", "q_incremental_window", "q_topk_users",
     "q_merge_last_wins", "q_langid_heuristic", "q_rule_report",
     "q_dedup_clusters", "q_preview_stats", "q_repetition_stats",
-    "q_pipeline_heuristic", "q_pipeline_flagship",
+    "q_pipeline_heuristic", "q_boilerplate_lines", "q_pipeline_flagship",
 ]
 
 

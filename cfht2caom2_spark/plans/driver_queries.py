@@ -1019,6 +1019,42 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 # --------------------------------------------------------------------------
+# Cross-document boilerplate line removal (documents)
+# --------------------------------------------------------------------------
+
+BOILERPLATE_MIN_DF = 3
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb line-level dedup: strip lines occurring verbatim in
+    >= 3 distinct docs (template boilerplate) — corpus-level state, unlike
+    the within-doc repeated_line_frac stat."""
+    from ..operators.boilerplate import remove_boilerplate_lines
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return remove_boilerplate_lines(docs, min_doc_freq=BOILERPLATE_MIN_DF)
+
+
+Q_BOILERPLATE_LINES_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+),
+l AS (
+  SELECT doc_id, i AS pos, ls[i] AS line
+  FROM d, UNNEST(generate_series(1, len(ls))) AS u(i)
+),
+b AS (
+  SELECT trim(line) AS nline FROM l WHERE trim(line) <> ''
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= {BOILERPLATE_MIN_DF}
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned_text
+FROM l
+WHERE trim(line) NOT IN (SELECT nline FROM b)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # End-to-end ORACLE-CHECKED pipeline sibling (documents)
 # --------------------------------------------------------------------------
 
@@ -1118,6 +1154,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_preview_stats": q_preview_stats,
     "q_repetition_stats": q_repetition_stats,
     "q_pipeline_heuristic": q_pipeline_heuristic,
+    "q_boilerplate_lines": q_boilerplate_lines,
 }
 
 ORACLES: dict[str, str] = {
@@ -1127,6 +1164,7 @@ ORACLES: dict[str, str] = {
     "q_preview_stats": Q_PREVIEW_STATS_SQL,
     "q_repetition_stats": Q_REPETITION_STATS_SQL,
     "q_pipeline_heuristic": Q_PIPELINE_HEURISTIC_SQL,
+    "q_boilerplate_lines": Q_BOILERPLATE_LINES_SQL,
     "q_lang_report": Q_LANG_REPORT_SQL,
     "q_token_count": Q_TOKEN_COUNT_SQL,
     "q_fingerprint": Q_FINGERPRINT_SQL,

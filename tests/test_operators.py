@@ -72,6 +72,29 @@ def test_connected_components(spark):
     assert comp[10] == comp[11] == 10
 
 
+def test_remove_boilerplate_lines(spark):
+    """Cross-doc line dedup: a line in >=3 docs is stripped everywhere,
+    order is preserved, and a doc made entirely of boilerplate drops out."""
+    from cfht2caom2_spark.operators.boilerplate import remove_boilerplate_lines
+
+    banner = "accept cookies to continue"
+    rows = [
+        (1, f"{banner}\nunique one\nmore text"),
+        (2, f"first line\n{banner}\nsecond line"),
+        (3, f"tail content\n{banner}"),
+        (4, banner),                       # all boilerplate -> drops out
+        (5, "no template here\nat all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r["cleaned_text"]
+           for r in remove_boilerplate_lines(df, min_doc_freq=3).collect()}
+    assert out[1] == "unique one\nmore text"
+    assert out[2] == "first line\nsecond line"   # order preserved
+    assert out[3] == "tail content"
+    assert 4 not in out
+    assert out[5] == "no template here\nat all"  # below-threshold untouched
+
+
 def test_cluster_losers_vs_pair_dominance_on_chain(spark):
     """A~B, B~D, A!~D with order A<D<B: pair-dominance keeps D (no earlier
     DIRECT partner) while the cluster policy drops it (same component as the
