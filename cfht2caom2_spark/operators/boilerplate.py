@@ -31,7 +31,9 @@ def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
     """Strip lines whose trimmed form appears in >= min_doc_freq distinct
     docs; returns (id_col, cleaned_text) with surviving lines rejoined in
     original order.  Docs whose every line is boilerplate drop out (same
-    semantics as the keep/drop gates: nothing left to train on)."""
+    semantics as the keep/drop gates: nothing left to train on), and so do
+    NULL-text docs (no lines to survive) — run this on rows that passed the
+    empty_payload gate, or left-join the result back by id to keep them."""
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),

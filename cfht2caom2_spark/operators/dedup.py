@@ -325,13 +325,15 @@ def connected_components(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
     edges = edges.localCheckpoint()
     # duplicate graphs are typically tiny relative to the corpus: size the
     # iteration's partitioning to the ACTUAL edge count (the count is free —
-    # edges are already materialized) so a small graph doesn't pay
-    # 32-task scheduling overhead per star round
+    # edges are already materialized).  This thins the map stages and the
+    # per-round probe scans; post-shuffle task counts remain AQE-decided
+    # (coalescePartitions only shrinks to default parallelism).
     n_edges = edges.count()
     cur = edges.rdd.getNumPartitions()
     target = max(1, min(cur, n_edges // 50_000 + 1))
     if target < cur:
         edges = edges.repartition(target).localCheckpoint()
+    converged = False
     for _ in range(max_rounds):
         edges = _small_star(_large_star(edges)).localCheckpoint()
         # converged iff the edge set IS a star forest: every src points to
@@ -344,13 +346,19 @@ def connected_components(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
                         .agg(F.count(F.lit(1)).alias("_n"))
                         .filter(F.col("_n") > 1))
         if non_star.isEmpty() and multi_parent.isEmpty():
+            converged = True
             break
     labels = edges.select(F.col("src").alias("node"),
                           F.col("dst").alias("component"))
-    # safety net for max_rounds exhaustion on a pathological graph: collapse
-    # any residual multi-parent rows to one deterministic label so callers
-    # (loser joins) never see duplicate node rows
-    labels = labels.groupBy("node").agg(F.min("component").alias("component"))
+    if not converged:
+        # max_rounds exhausted on a pathological graph: collapse residual
+        # multi-parent rows to one deterministic label so callers (loser
+        # joins) never see duplicate node rows.  NOTE this degraded output
+        # may split a true cluster across labels (the min-node-id contract
+        # holds only at convergence — raise max_rounds if this path is hit);
+        # at convergence the collapse is skipped entirely (no extra shuffle).
+        labels = labels.groupBy("node").agg(
+            F.min("component").alias("component"))
     roots = (edges.select(F.col("dst").alias("node")).distinct()
              .join(edges.select(F.col("src").alias("node")).distinct(),
                    "node", "left_anti")

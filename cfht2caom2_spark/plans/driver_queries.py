@@ -1015,10 +1015,6 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# registry
-# --------------------------------------------------------------------------
-
-# --------------------------------------------------------------------------
 # Cross-document boilerplate line removal (documents)
 # --------------------------------------------------------------------------
 
@@ -1121,6 +1117,10 @@ FROM r
 
 Q_PIPELINE_HEURISTIC_SQL = _pipeline_heuristic_sql()
 
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
 
 QUERIES: dict[str, QueryFn] = {
     "q_text_stats": q_text_stats,
