@@ -72,6 +72,38 @@ def test_connected_components(spark):
     assert comp[10] == comp[11] == 10
 
 
+def test_identity_projections(spark):
+    """P1-P4/S6: url identity columns and the FileInfo probe are pure
+    deterministic projections."""
+    import hashlib
+
+    from cfht2caom2_spark.functions.identity import (doc_id_from_url, host,
+                                                     payload_info, salted_key)
+
+    df = spark.createDataFrame(
+        [("https://example.com/a/page.html", b"payload"),
+         ("https://example.com/b/doc.php", None)],
+        "url string, html binary")
+    out = df.select(
+        host(F.col("url")).alias("h"),
+        doc_id_from_url(F.col("url")).alias("d"),
+        payload_info(F.col("html")).alias("pi"),
+        salted_key(F.col("url"), 16).alias("sk"),
+    ).collect()
+    assert out[0]["h"] == "example.com"
+    assert out[0]["d"] == "/a/page"          # extension stripped
+    assert out[1]["d"] == "/b/doc"
+    assert out[0]["pi"]["n_bytes"] == len(b"payload")
+    assert out[0]["pi"]["md5"] == hashlib.md5(b"payload").hexdigest()
+    assert out[1]["pi"]["n_bytes"] == 0 and out[1]["pi"]["md5"] is None
+    assert out[0]["sk"].startswith("example.com#")
+    salt = int(out[0]["sk"].split("#")[1])
+    assert 0 <= salt < 16
+    # deterministic: same url -> same salt on re-evaluation
+    again = df.select(salted_key(F.col("url"), 16).alias("sk")).collect()
+    assert again[0]["sk"] == out[0]["sk"]
+
+
 def test_remove_boilerplate_lines(spark):
     """Cross-doc line dedup: a line in >=3 docs is stripped everywhere,
     order is preserved, and a doc made entirely of boilerplate drops out."""
