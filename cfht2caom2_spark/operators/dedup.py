@@ -414,8 +414,14 @@ def minhash_losers_from_sig(df: DataFrame, id_col: str, order_col: str,
     The exact-Jaccard verifier remains available via minhash_dedup_losers.
 
     Plan shape: slim (id, ord, sig) projection -> first-arrival-per-id window
-    -> band explode -> ONE self-join on (band, key) -> estimator filter ->
-    earliest-wins.  Only signatures shuffle; text never moves.
+    -> band explode of (id, band, key) ONLY -> self-join on (band, key) ->
+    distinct candidate pairs -> fetch both signatures per PAIR -> estimator
+    filter -> earliest-wins.  Text never moves, and the full 32-perm
+    signature ships once per candidate pair instead of once per banded row
+    (the round-1 shape carried the 256-byte signature through the ×bands
+    explode — the dominant shuffle at crawl scale, SCALE_RUNBOOK.md §3);
+    candidate pairs colliding in several bands are also estimated once, not
+    once per collision.
 
     ``policy``: ``"pairs"`` (default) drops a doc that is near-dup of ANY
     earlier doc — one-pass, fully lazy.  ``"clusters"`` labels connected
@@ -443,7 +449,7 @@ def minhash_losers_from_sig(df: DataFrame, id_col: str, order_col: str,
     if persist_tracker is not None:
         persist_tracker.append(keyed)
     banded = keyed.select(
-        "_id", "_ord", "_sig",
+        "_id",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
@@ -453,31 +459,40 @@ def minhash_losers_from_sig(df: DataFrame, id_col: str, order_col: str,
                 ]).alias("key"),
             ) for b in range(bands)
         ])).alias("bk"),
-    ).select("_id", "_ord", "_sig", "bk.band", "bk.key")
+    ).select("_id", "bk.band", "bk.key")
     l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(r, ["band", "key"])
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    sigs_a = keyed.select(F.col("_id").alias("id_a"),
+                          F.col("_ord").alias("_ord_a"),
+                          F.col("_sig").alias("_sig_a"))
+    sigs_b = keyed.select(F.col("_id").alias("id_b"),
+                          F.col("_ord").alias("_ord_b"),
+                          F.col("_sig").alias("_sig_b"))
     est = (
         F.size(F.filter(
-            F.zip_with(F.col("l._sig"), F.col("r._sig"),
+            F.zip_with(F.col("_sig_a"), F.col("_sig_b"),
                        lambda a, b: F.when(a == b, 1).otherwise(0)),
             lambda x: x == 1,
         )).cast("double") / F.lit(float(num_perms))
     )
     verified = (
-        l.join(r, ["band", "key"])
-        .filter(F.col("l._id") < F.col("r._id"))
+        pairs.join(sigs_a, "id_a").join(sigs_b, "id_b")
         .filter(est >= threshold)
     )
     if policy == "clusters":
-        pair_ids = verified.select(
-            F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b")
-        ).distinct()
-        return cluster_losers(pair_ids, keyed, "_id", "_ord")
+        return cluster_losers(verified.select("id_a", "id_b"),
+                              keyed, "_id", "_ord")
     return (
         verified.select(
-            F.when((F.col("l._ord") < F.col("r._ord"))
-                   | ((F.col("l._ord") == F.col("r._ord"))
-                      & (F.col("l._id") < F.col("r._id"))),
-                   F.col("r._id")).otherwise(F.col("l._id")).alias("loser_id")
+            F.when((F.col("_ord_a") < F.col("_ord_b"))
+                   | ((F.col("_ord_a") == F.col("_ord_b"))
+                      & (F.col("id_a") < F.col("id_b"))),
+                   F.col("id_b")).otherwise(F.col("id_a")).alias("loser_id")
         )
         .distinct()
     )
