@@ -414,14 +414,14 @@ def minhash_losers_from_sig(df: DataFrame, id_col: str, order_col: str,
     The exact-Jaccard verifier remains available via minhash_dedup_losers.
 
     Plan shape: slim (id, ord, sig) projection -> first-arrival-per-id window
-    -> band explode of (id, band, key) ONLY -> self-join on (band, key) ->
-    distinct candidate pairs -> fetch both signatures per PAIR -> estimator
-    filter -> earliest-wins.  Text never moves, and the full 32-perm
-    signature ships once per candidate pair instead of once per banded row
-    (the round-1 shape carried the 256-byte signature through the ×bands
-    explode — the dominant shuffle at crawl scale, SCALE_RUNBOOK.md §3);
-    candidate pairs colliding in several bands are also estimated once, not
-    once per collision.
+    -> band explode of (surrogate-id, band, key) ONLY -> self-join on
+    (band, key) -> distinct candidate pairs -> fetch both REAL ids +
+    signatures per PAIR -> estimator filter -> earliest-wins.  Text never
+    moves; the full 32-perm signature ships once per candidate pair instead
+    of once per banded row, and the ×bands explode carries an 8-byte
+    xxhash64 surrogate instead of the url (together ~12× less band-join
+    traffic than the round-1 shape — SCALE_RUNBOOK.md §3); candidate pairs
+    colliding in several bands are estimated once, not once per collision.
 
     ``policy``: ``"pairs"`` (default) drops a doc that is near-dup of ANY
     earlier doc — one-pass, fully lazy.  ``"clusters"`` labels connected
@@ -448,8 +448,16 @@ def minhash_losers_from_sig(df: DataFrame, id_col: str, order_col: str,
     )
     if persist_tracker is not None:
         persist_tracker.append(keyed)
-    banded = keyed.select(
-        "_id",
+    # the banding/pair stages use an 8-byte xxhash64 SURROGATE of the id
+    # (urls average 60-100 B — the id would dominate the banded row,
+    # SCALE_RUNBOOK.md §3).  Surrogate collisions are harmless by
+    # construction: a collision can only ADD candidate-pair variants, and
+    # every variant is verified against the REAL ids' signatures below —
+    # an unrelated colliding doc fails the estimator; a same-sid pair never
+    # forms (the < filter).  Real ids come back at the signature fetch.
+    keyed_s = keyed.withColumn("_sid", F.xxhash64(F.col("_id")))
+    banded = keyed_s.select(
+        "_sid",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
@@ -459,20 +467,22 @@ def minhash_losers_from_sig(df: DataFrame, id_col: str, order_col: str,
                 ]).alias("key"),
             ) for b in range(bands)
         ])).alias("bk"),
-    ).select("_id", "bk.band", "bk.key")
+    ).select("_sid", "bk.band", "bk.key")
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(r, ["band", "key"])
-        .filter(F.col("l._id") < F.col("r._id"))
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .filter(F.col("l._sid") < F.col("r._sid"))
+        .select(F.col("l._sid").alias("sid_a"), F.col("r._sid").alias("sid_b"))
         .distinct()
     )
-    sigs_a = keyed.select(F.col("_id").alias("id_a"),
-                          F.col("_ord").alias("_ord_a"),
-                          F.col("_sig").alias("_sig_a"))
-    sigs_b = keyed.select(F.col("_id").alias("id_b"),
-                          F.col("_ord").alias("_ord_b"),
-                          F.col("_sig").alias("_sig_b"))
+    sigs_a = keyed_s.select(F.col("_sid").alias("sid_a"),
+                            F.col("_id").alias("id_a"),
+                            F.col("_ord").alias("_ord_a"),
+                            F.col("_sig").alias("_sig_a"))
+    sigs_b = keyed_s.select(F.col("_sid").alias("sid_b"),
+                            F.col("_id").alias("id_b"),
+                            F.col("_ord").alias("_ord_b"),
+                            F.col("_sig").alias("_sig_b"))
     est = (
         F.size(F.filter(
             F.zip_with(F.col("_sig_a"), F.col("_sig_b"),
@@ -481,7 +491,7 @@ def minhash_losers_from_sig(df: DataFrame, id_col: str, order_col: str,
         )).cast("double") / F.lit(float(num_perms))
     )
     verified = (
-        pairs.join(sigs_a, "id_a").join(sigs_b, "id_b")
+        pairs.join(sigs_a, "sid_a").join(sigs_b, "sid_b")
         .filter(est >= threshold)
     )
     if policy == "clusters":
