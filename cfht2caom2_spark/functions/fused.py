@@ -117,12 +117,10 @@ def with_extract_and_scores(df: DataFrame, spark: SparkSession,
                 ]
             else:
                 texts = [t for t in pdf[text_col]]
-            langs, confs, ppls = [], [], []
-            for t in texts:
-                lang, conf = lid.predict_one(t)
-                langs.append(lang)
-                confs.append(conf)
-                ppls.append(lm.perplexity_one(t, lang))
+            # whole-batch model scoring: one np.unique + segment-reduceat per
+            # Arrow batch instead of ~135 us/doc of per-doc numpy fixed cost
+            langs, confs = lid.predict_batch(texts)
+            ppls = lm.perplexity_batch(texts, langs)
             out = pdf.drop(columns=[c for c in (html_col, text_col)
                                     if c in pdf.columns])
             out["extracted_text"] = pd.Series(texts, index=pdf.index, dtype=object)

@@ -91,3 +91,43 @@ def test_perplexity_orders_clean_vs_gibberish():
     clean = lm.perplexity_one("the quick brown fox jumps over the lazy dog", "en")
     junk = lm.perplexity_one("xq zvv kjw qqp zzx mnvb wklq jjx", "en")
     assert clean < 20 < junk
+
+
+def test_batch_kernels_match_scalar_reference():
+    """predict_batch / perplexity_batch must reproduce the scalar reference
+    kernels: language exact, conf/ppl within float-reassociation tolerance.
+    Batch-of-1 must equal batch-of-N BIT-exactly (every production caller —
+    fused stage, pandas UDFs, reference labeler — goes through the batch
+    path, so goldens cannot drift between batch shapes)."""
+    import math
+
+    from cfht2caom2_spark.functions.langid import TrigramLangID
+    from cfht2caom2_spark.functions.perplexity import BigramLM
+
+    texts = [
+        None, "", " ", "ab", "你好世界" * 50,
+        "the people of the town gather at the market every morning",
+        "les gens de la ville se réunissent au marché chaque matin",
+        "die menschen der stadt treffen sich jeden morgen auf dem markt",
+        "la gente de la ciudad se reúne en el mercado cada mañana",
+        "镇上的人们每天早晨聚集在市场买面包和水果",
+        "xq zvv kjw qqp zzx mnvb wklq jjx " * 10,
+        "\U0001F600 emoji and non-BMP \U0001D11E here",
+        "短文 with mixed 中文 and english words here",
+        "the quick brown fox jumps over the lazy dog " * 40,  # > SAMPLE_CHARS
+    ]
+    lid, lm = TrigramLangID(), BigramLM()
+    langs, confs = lid.predict_batch(texts)
+    ppls = lm.perplexity_batch(texts, langs)
+    for i, t in enumerate(texts):
+        sl, sc = lid.predict_one_scalar(t)
+        assert sl == langs[i], (i, t, sl, langs[i])
+        assert math.isclose(sc, confs[i], rel_tol=1e-9, abs_tol=1e-12), (i, t)
+        sp = lm.perplexity_one_scalar(t, langs[i])
+        assert (math.isinf(sp) and math.isinf(ppls[i])) or math.isclose(
+            sp, ppls[i], rel_tol=1e-9), (i, t, sp, ppls[i])
+        # bit-exact across batch shapes
+        l1, c1 = lid.predict_batch([t])
+        assert l1[0] == langs[i] and c1[0] == confs[i], (i, t)
+        p1 = lm.perplexity_batch([t], [langs[i]])[0]
+        assert p1 == ppls[i] or (math.isinf(p1) and math.isinf(ppls[i])), (i, t)
