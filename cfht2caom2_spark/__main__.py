@@ -37,6 +37,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--host-backfill", action="store_true",
                    help="adopt the host's consensus language for "
                         "low-confidence predictions")
+    b.add_argument("--boilerplate", action="store_true",
+                   help="strip cross-document boilerplate lines "
+                        "(trimmed line in >= 3 distinct docs) before "
+                        "stats + scrub")
 
     s = sub.add_parser("state", help="incremental snapshot-range tick")
     s.add_argument("--table", required=True, help="SnapshotTable root")
@@ -77,7 +81,8 @@ def main(argv: list[str] | None = None) -> int:
 
         profile = replace(DEFAULT_PROFILE,
                           dedup_policy=args.dedup_policy,
-                          host_lang_backfill=args.host_backfill)
+                          host_lang_backfill=args.host_backfill,
+                          boilerplate_removal=args.boilerplate)
         result = run_batch(spark, pages, args.out, profile=profile,
                            snapshot_id=args.snapshot_id,
                            resume=not args.no_resume,

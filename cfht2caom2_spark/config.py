@@ -91,6 +91,16 @@ class RuleProfile:
     host_lang_backfill: bool = False
     host_backfill_min_conf: float = 0.5   # votes counted above this conf
     host_backfill_adopt_below: float = 0.3  # rows below this conf adopt
+    # Cross-document boilerplate line removal (CCNet/RefinedWeb line dedup,
+    # operators/boilerplate.py) inside the main visit: lines whose trimmed
+    # form appears in >= boilerplate_min_df distinct docs of the run are
+    # stripped from extracted_text BEFORE the heuristic stats and scrub, so
+    # keep/drop and the stored artifact reflect trainable content only.
+    # Model scores (langid/ppl) and dedup signatures stay computed on the
+    # original extraction — one Arrow pass, and near-dup identity remains a
+    # property of the page as crawled.
+    boilerplate_removal: bool = False
+    boilerplate_min_df: int = 3
 
     def rule_versions(self) -> dict[str, str]:
         """Per-rule version map recorded in lineage rows (north_rule)."""

@@ -246,6 +246,73 @@ class TrigramLangID:
         return pd.DataFrame({"lang": langs, "conf": confs}, index=texts.index)
 
 
+class FastTextLangID:
+    """fastText drop-in for TrigramLangID — same broadcast + batch contract
+    (MODEL CONTRACT: ``predict_batch(texts) -> (list[lang], list[conf])``
+    and ``predict_series``; anything implementing it slots into
+    ``with_langid``, ``langid_udf`` and the fused stage unchanged —
+    exercised by tests/test_model_swap.py).
+
+    Construct with the path to a lid.176.bin / lid.176.ftz model; the
+    instance pickles the raw model BYTES so ``SparkContext.broadcast``
+    ships it to executors and each task deserializes once (the fastText
+    handle itself is not picklable).  Raises ImportError without the
+    fasttext package — this container does not bundle it, so the class is
+    import-guarded and covered by a skipif-marked contract test.
+    """
+
+    def __init__(self, model_path: str, conf_floor: float = 0.0):
+        with open(model_path, "rb") as fh:
+            self._model_bytes = fh.read()
+        self._conf_floor = conf_floor
+        self._ft = None
+        self._load()  # fail fast on the driver if fasttext is missing
+
+    def _load(self):
+        if self._ft is None:
+            import os
+            import tempfile
+
+            import fasttext
+
+            fd, path = tempfile.mkstemp(suffix=".bin")
+            try:
+                with os.fdopen(fd, "wb") as fh:
+                    fh.write(self._model_bytes)
+                self._ft = fasttext.load_model(path)
+            finally:
+                os.unlink(path)
+        return self._ft
+
+    def __getstate__(self):
+        return {"_model_bytes": self._model_bytes,
+                "_conf_floor": self._conf_floor}
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._ft = None
+
+    def predict_batch(self, texts) -> tuple[list[str], list[float]]:
+        ft = self._load()
+        texts = list(texts)
+        langs, confs = ["und"] * len(texts), [0.0] * len(texts)
+        idx = [i for i, t in enumerate(texts) if t]
+        # fastText predicts a whole list in one C++ call; newlines are
+        # illegal in its input, collapse them first
+        labels, probs = ft.predict(
+            [_RE_WS.sub(" ", texts[i]) for i in idx])
+        for j, i in enumerate(idx):
+            conf = float(probs[j][0])
+            if conf >= self._conf_floor:
+                langs[i] = labels[j][0].replace("__label__", "")
+                confs[i] = min(1.0, conf)
+        return langs, confs
+
+    def predict_series(self, texts: pd.Series) -> pd.DataFrame:
+        langs, confs = self.predict_batch(texts)
+        return pd.DataFrame({"lang": langs, "conf": confs}, index=texts.index)
+
+
 def langid_udf(spark: SparkSession, model: TrigramLangID | None = None) -> Column:
     """Returns a scalar-iterator pandas UDF column factory over broadcast model."""
     bc = spark.sparkContext.broadcast(model or TrigramLangID())

@@ -153,6 +153,76 @@ class BigramLM:
                          index=texts.index, dtype="float64")
 
 
+class KenLMModel:
+    """KenLM drop-in for BigramLM — same broadcast + batch contract
+    (MODEL CONTRACT: ``perplexity_batch(texts, langs) -> float array`` and
+    ``perplexity_series``; anything implementing it slots into
+    ``with_perplexity``, ``perplexity_udf`` and the fused stage unchanged —
+    exercised by tests/test_model_swap.py).
+
+    Construct with {lang: path-to-arpa-or-binary}; model BYTES are pickled
+    so broadcast ships them and each task loads once (kenlm.Model holds a
+    file handle and is not picklable).  Raises ImportError without the
+    kenlm package — import-guarded, covered by a skipif-marked test.
+    """
+
+    def __init__(self, model_paths: dict[str, str], fallback_lang: str = "en"):
+        self._blobs = {}
+        for lang, path in model_paths.items():
+            with open(path, "rb") as fh:
+                self._blobs[lang] = fh.read()
+        self._fallback = fallback_lang
+        self._models: dict | None = None
+        self._load()  # fail fast on the driver if kenlm is missing
+
+    def _load(self):
+        if self._models is None:
+            import os
+            import tempfile
+
+            import kenlm
+
+            self._models = {}
+            for lang, blob in self._blobs.items():
+                fd, path = tempfile.mkstemp(suffix=".arpa")
+                try:
+                    with os.fdopen(fd, "wb") as fh:
+                        fh.write(blob)
+                    self._models[lang] = kenlm.Model(path)
+                finally:
+                    os.unlink(path)
+        return self._models
+
+    def __getstate__(self):
+        return {"_blobs": self._blobs, "_fallback": self._fallback}
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._models = None
+
+    def perplexity_batch(self, texts, langs):
+        import numpy as np
+
+        models = self._load()
+        texts, langs = list(texts), list(langs)
+        out = np.full(len(texts), np.inf, dtype=np.float64)
+        for i, (t, l) in enumerate(zip(texts, langs)):
+            if not t:
+                continue
+            m = models.get(l if l in models else self._fallback)
+            if m is None:
+                continue
+            sent = _RE_WS.sub(" ", t).strip()
+            n_words = max(sent.count(" ") + 1, 1)
+            # kenlm full-sentence log10 prob (with BOS/EOS) -> per-word ppl
+            out[i] = 10.0 ** (-m.score(sent) / (n_words + 1))
+        return out
+
+    def perplexity_series(self, texts: pd.Series, langs: pd.Series) -> pd.Series:
+        return pd.Series(self.perplexity_batch(texts, langs),
+                         index=texts.index, dtype="float64")
+
+
 def perplexity_udf(spark: SparkSession, model: BigramLM | None = None) -> Column:
     bc = spark.sparkContext.broadcast(model or BigramLM())
 

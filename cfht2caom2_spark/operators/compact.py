@@ -29,32 +29,31 @@ def demote_cross_increment_duplicates(decisions: DataFrame,
     """Among KEPT rows sharing an extracted_sha256, keep the earliest by
     (order_col, id_col); demote the rest: rules += exact_duplicate,
     keep = false, scrubbed_text = null (stored artifacts are for kept docs
-    only).  Dropped rows and null-hash rows pass through unchanged."""
+    only).  Dropped rows and null-hash rows pass through unchanged.
+
+    Only CONTESTED rows (kept, non-null hash) enter the window: dropped and
+    failed-extraction rows (a large class at crawl scale whose hash is NULL,
+    which would all land in the single NULL window partition) never shuffle —
+    they ride the union branch untouched."""
     contested = F.col("keep") & F.col("extracted_sha256").isNotNull()
-    # rank CONTESTED rows first within the hash partition — a when() around
-    # row_number only masks the OUTPUT, it does not exclude non-kept rows
-    # from consuming rank 1, which would demote the earliest kept row
     w = Window.partitionBy("extracted_sha256").orderBy(
-        contested.desc(), F.col(order_col), F.col(id_col))
-    ranked = decisions.withColumn(
-        "_rn",
-        F.when(contested, F.row_number().over(w)).otherwise(F.lit(None)))
-    # materialize the flag BEFORE mutating keep — column expressions bind
-    # late, so referencing keep after the keep-rewrite would see the new value
-    ranked = ranked.withColumn("_demote", contested & (F.col("_rn") > 1))
+        F.col(order_col), F.col(id_col))
     demote = F.col("_demote")
-    return (
-        ranked
+    demoted = (
+        decisions.filter(contested)
+        .withColumn("_demote", F.row_number().over(w) > 1)
         .withColumn("rules",
                     F.when(demote, F.array_sort(F.array_union(
                         F.col("rules"), F.array(F.lit("exact_duplicate")))))
                     .otherwise(F.col("rules")))
-        .withColumn("keep", F.col("keep") & ~demote)
+        # contested rows were all kept; the loser flips to dropped
+        .withColumn("keep", ~demote)
         .withColumn("scrubbed_text",
                     F.when(demote, F.lit(None).cast("string"))
                     .otherwise(F.col("scrubbed_text")))
-        .drop("_rn", "_demote")
+        .drop("_demote")
     )
+    return decisions.filter(~contested).unionByName(demoted)
 
 
 def compact_decisions(spark: SparkSession, decisions_path: str,

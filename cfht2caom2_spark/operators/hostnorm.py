@@ -16,9 +16,11 @@ operator aggregates in two phases instead:
   phase 2: groupBy(host, lang) over the tiny partial-count table; majority
            pick with a deterministic tiebreak.
 
-The consensus table is then broadcast back — no shuffle of the fact rows at
-all.  (With AQE skew-join enabled the naive plan also survives, but the
-two-phase form bounds reducer memory by construction.)
+The consensus table is then joined back; AQE chooses broadcast while the
+table fits and a shuffle join beyond that — one row per host grows with the
+corpus, so a mandatory broadcast hint would violate the repo's no-unbounded-
+broadcast invariant.  (With AQE skew-join enabled the naive plan also
+survives, but the two-phase form bounds reducer memory by construction.)
 """
 
 from __future__ import annotations
@@ -68,12 +70,15 @@ def with_host_lang_backfill(df: DataFrame, url_col: str = "url",
 
     Adds ``lang_final`` (= lang_pred, or the host consensus when
     lang_conf < adopt_below and a consensus exists) and ``lang_source``
-    ('model' | 'host_consensus').  Consensus side is broadcast — the fact
-    table is never shuffled.
+    ('model' | 'host_consensus').  The consensus side is one row per host —
+    small but corpus-growing, so NO mandatory broadcast hint: AQE picks
+    broadcast while it fits and falls back to a shuffle join beyond
+    autoBroadcastJoinThreshold (the repo-wide no-unbounded-broadcast
+    invariant, tests/test_plan_shape.py).
     """
     consensus = host_lang_consensus(df, url_col, lang_col, conf_col, min_conf)
     joined = df.withColumn("_host", host_of(F.col(url_col))).join(
-        F.broadcast(consensus), F.col("_host") == F.col("host"), "left"
+        consensus, F.col("_host") == F.col("host"), "left"
     )
     adopt = (F.col(conf_col) < adopt_below) & F.col("consensus_lang").isNotNull()
     return (

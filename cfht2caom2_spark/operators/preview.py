@@ -23,13 +23,19 @@ SNIPPET_CHARS = 200
 
 
 def preview_rows(decisions: DataFrame, snippet_chars: int = SNIPPET_CHARS) -> DataFrame:
-    """One preview artifact per KEPT doc: bounded snippet + display stats."""
+    """One preview artifact per KEPT doc: bounded snippet + display stats.
+
+    p_day is passed through when present and derived from warc_ts otherwise
+    (same derivation as compact_decisions) so ``write_previews`` can always
+    partition by it."""
+    p_day = (F.col("p_day") if "p_day" in decisions.columns
+             else F.date_format("warc_ts", "yyyy-MM-dd"))
     return decisions.filter(F.col("keep")).select(
         "url", "warc_ts",
         F.substring("scrubbed_text", 1, snippet_chars).alias("snippet"),
         F.length("scrubbed_text").cast("bigint").alias("n_chars"),
         F.col("lang_pred"),
-        *(["p_day"] if "p_day" in decisions.columns else []),
+        p_day.alias("p_day"),
     )
 
 

@@ -1222,7 +1222,52 @@ def q_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     text -> passthrough branch), minus dedup (covered by q_minhash_pairs)."""
     from .pipeline import build_pipeline
 
-    docs = _t_wide(spark, sf_dir, "documents").select(
+    out = build_pipeline(_flagship_pages(spark, sf_dir), spark,
+                         profile=_docs_profile(), dedupe=False,
+                         has_html=False)
+    # the driver's canonicalizer sorts every output column through pandas,
+    # where array cells are unhashable — serialize the rules array for the
+    # harness (same pattern as q_quality_decision); build_pipeline's
+    # production output keeps the array type.
+    return out.withColumn("rules_str", F.array_join("rules", ",")).drop("rules")
+
+
+class _ConstLangID:
+    """Deterministic drop-in for TrigramLangID (MODEL CONTRACT,
+    functions/langid.py): every non-empty text is ('en', 1.0).  Lets the
+    driver VALUE-HASH the real build_pipeline (q_pipeline_flagship_det) —
+    with a constant model the whole flagship output is SQL-expressible."""
+
+    def predict_batch(self, texts):
+        texts = list(texts)
+        return (["en" if t else "und" for t in texts],
+                [1.0 if t else 0.0 for t in texts])
+
+    def predict_series(self, texts):
+        import pandas as pd
+
+        langs, confs = self.predict_batch(texts)
+        return pd.DataFrame({"lang": langs, "conf": confs}, index=texts.index)
+
+
+class _ConstLM:
+    """Deterministic drop-in for BigramLM (MODEL CONTRACT): ppl = 1.0."""
+
+    def perplexity_batch(self, texts, langs):
+        import numpy as np
+
+        return np.array([1.0 if t else float("inf") for t in texts])
+
+    def perplexity_series(self, texts, langs):
+        import pandas as pd
+
+        return pd.Series(self.perplexity_batch(texts, langs),
+                         index=texts.index, dtype="float64")
+
+
+def _flagship_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> pages-shaped input shared by both flagship queries."""
+    return _t_wide(spark, sf_dir, "documents").select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         (F.lit("2025-06-01").cast("timestamp_ntz")
          + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("warc_ts"),
@@ -1230,13 +1275,92 @@ def q_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.col("lang"),
     )
-    out = build_pipeline(docs, spark, profile=_docs_profile(),
-                         dedupe=False, has_html=False)
-    # the driver's canonicalizer sorts every output column through pandas,
-    # where array cells are unhashable — serialize the rules array for the
-    # harness (same pattern as q_quality_decision); build_pipeline's
-    # production output keeps the array type.
-    return out.withColumn("rules_str", F.array_join("rules", ",")).drop("rules")
+
+
+def q_pipeline_flagship_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL build_pipeline under a constant language model — every output
+    column deterministic, so the driver hash-checks the actual flagship plan
+    (not a re-composition): extraction passthrough + sha256, heuristic stats,
+    the full decision rule set (incl. empty_payload / toxicity / repeated
+    lines that q_pipeline_heuristic's reduced set omits), and the kept-only
+    scrub artifact.  Complements q_pipeline_flagship, whose trigram/bigram
+    model columns have no SQL equivalent (rows-only driver check)."""
+    from dataclasses import replace
+
+    from ..config import DEFAULT_PROFILE
+    from .pipeline import build_pipeline
+
+    profile = replace(DEFAULT_PROFILE, version="2026.08.1-det",
+                      max_perplexity=float("inf"), min_lang_conf=0.0,
+                      allowed_langs=("en", "und"))
+    out = build_pipeline(_flagship_pages(spark, sf_dir), spark,
+                         profile=profile, dedupe=False, has_html=False,
+                         langid_model=_ConstLangID(), ppl_model=_ConstLM())
+    return out.select(
+        "url", "extracted_sha256", "n_words", "mean_word_len", "symbol_ratio",
+        "stopword_frac", "alpha_word_frac", "repeated_line_frac",
+        F.array_join("rules", ",").alias("rules_str"), "keep",
+        "scrubbed_text",
+    )
+
+
+_DET_RULE_CASES = ", ".join(
+    f"CASE WHEN {cond} THEN '{rule}' END" for rule, cond in (
+        ("empty_payload", "text IS NULL OR length(text) = 0"),
+        ("too_short", "n_words < 50"),
+        ("too_long", "n_words > 100000"),
+        ("word_len_low", "mean_word_len < 3.0"),
+        ("word_len_high", "mean_word_len > 10.0"),
+        ("symbol_ratio", "symbol_ratio > 0.10"),
+        ("stopword_frac", "stopword_frac < 0.01"),
+        ("alpha_frac", "alpha_word_frac < 0.80"),
+        ("repeated_lines", "repeated_line_frac > 0.30"),
+        ("toxicity", "toxicity_hits > 0"),
+    )
+)
+
+
+def _pipeline_flagship_det_sql() -> str:
+    from ..config import TOXICITY_WORDS
+    tox = ",".join(f"'{w}'" for w in TOXICITY_WORDS)
+    return f"""
+WITH base AS (
+  SELECT 'doc://' || doc_id::VARCHAR AS url, text FROM documents
+),
+t AS (
+  SELECT url, text, {_TOKS} AS toks,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lns
+  FROM base
+),
+s AS (
+  SELECT url, text,
+{_STATS_EXPRS_SQL.strip()},
+  len(list_filter(toks, x -> lower(x) IN ({tox})))::BIGINT AS toxicity_hits
+  FROM t
+),
+r AS (
+  SELECT *,
+    list_sort(list_filter([{_DET_RULE_CASES}], x -> x IS NOT NULL)) AS rules
+  FROM s
+)
+SELECT url,
+  CASE WHEN text IS NOT NULL THEN sha256(text) END AS extracted_sha256,
+  n_words, mean_word_len, symbol_ratio, stopword_frac, alpha_word_frac,
+  repeated_line_frac,
+  coalesce(array_to_string(rules, ','), '') AS rules_str,
+  coalesce(len(rules), 0) = 0 AS keep,
+  CASE WHEN coalesce(len(rules), 0) = 0
+       THEN {_scrub_sql_chain('text')} END AS scrubbed_text
+FROM r
+"""
+
+
+Q_PIPELINE_FLAGSHIP_DET_SQL = _pipeline_flagship_det_sql()
+
+# registered here (not in the dict literals above) because the flagship
+# section defines these names after the registries
+QUERIES["q_pipeline_flagship_det"] = q_pipeline_flagship_det
+ORACLES["q_pipeline_flagship_det"] = Q_PIPELINE_FLAGSHIP_DET_SQL
 
 
 NO_ORACLE_QUERIES: dict[str, QueryFn] = {

@@ -79,16 +79,15 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
                            if dedupe else 0),
             shingle_k=profile.shingle_size,
         )
-        df = with_quality_stats(df, text_col="extracted_text", lang_col="lang_pred")
     else:
         if has_html:
             df = with_extracted_text(df)
         else:
             df = with_extracted_text_passthrough(df)
         df = with_langid(df, spark, model=langid_model)
-        df = with_quality_stats(df, text_col="extracted_text", lang_col="lang_pred")
         df = with_perplexity(df, spark, model=ppl_model)
-    df = with_scrub(df)
+    # quality stats + scrub are appended AFTER the optional boilerplate pass
+    # below — they must describe the text the corpus actually trains on
 
     # raw payloads are consumed by extraction; everything downstream works on
     # extracted_text — dropping them here keeps the cache and any shuffle
@@ -96,20 +95,57 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
     # we're past the scan)
     df = df.drop(*[c for c in ("html", "text") if c in df.columns])
 
-    # dedup and host-backfill both fan the plan out (slim dedup projections /
-    # the consensus aggregate + the main branch): persist the post-UDF frame
-    # so extraction + model scoring execute ONCE, not once per subtree (the
-    # reference's headers-fetched-once discipline, cfht_name.py:525-548;
-    # SURVEY §4 "cache the post-extraction DataFrame before fanning out")
-    if dedupe or profile.host_lang_backfill:
+    # dedup, host-backfill and boilerplate removal all fan the plan out (slim
+    # dedup projections / the consensus aggregate / the line-frequency
+    # subtree + the main branch): persist the post-UDF frame so extraction +
+    # model scoring execute ONCE, not once per subtree (the reference's
+    # headers-fetched-once discipline, cfht_name.py:525-548; SURVEY §4
+    # "cache the post-extraction DataFrame before fanning out")
+    if dedupe or profile.host_lang_backfill or profile.boilerplate_removal:
         from pyspark import StorageLevel
 
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         if persist_tracker is not None:
             persist_tracker.append(df)
-    # dedup keys/signatures are unaffected by backfill: its slim projections
-    # read the persisted pre-backfill frame
+    # dedup keys/signatures and the boilerplate line frequencies read the
+    # persisted pre-backfill frame
     base = df
+
+    if profile.boilerplate_removal:
+        # CCNet/RefinedWeb cross-doc line dedup inside the main visit
+        # (reference runs cleanup_augmentation inside DATA_VISITORS,
+        # composable.py:84-88).  Two slim shuffles (line-df groupBy + per-doc
+        # reassembly) + one AQE-decided join back by a deterministic row key.
+        # Heuristic stats + scrub downstream see the CLEANED text; model
+        # scores and minhash signatures keep the as-crawled extraction
+        # (config.RuleProfile.boilerplate_removal docstring).
+        from ..operators.boilerplate import remove_boilerplate_lines
+
+        row_key = F.xxhash64(F.col(id_col), F.col(order_col))
+        cleaned = remove_boilerplate_lines(
+            base.select(row_key.alias("_bp_id"), "extracted_text")
+            .filter(F.col("extracted_text").isNotNull()),
+            text_col="extracted_text", id_col="_bp_id",
+            min_doc_freq=profile.boilerplate_min_df,
+        )
+        df = (
+            df.withColumn("_bp_id", row_key)
+            .join(cleaned, on="_bp_id", how="left")
+            # all-boilerplate docs drop out of the reassembly: coalesce to ''
+            # so they fire empty_payload (nothing left to train on); null
+            # extractions stay null
+            .withColumn(
+                "extracted_text",
+                F.when(F.col("extracted_text").isNotNull(),
+                       F.coalesce(F.col("cleaned_text"), F.lit("")))
+                .otherwise(F.col("extracted_text")))
+            .drop("_bp_id", "cleaned_text")
+        )
+
+    # narrow JVM exprs over the (possibly cleaned) extraction — keep/drop
+    # thresholds and the stored artifact reflect trainable content only
+    df = with_quality_stats(df, text_col="extracted_text", lang_col="lang_pred")
+    df = with_scrub(df)
 
     if profile.host_lang_backfill:
         from ..operators.hostnorm import with_host_lang_backfill
@@ -130,6 +166,11 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
                               F.lit(profile.min_lang_conf)))
                           .otherwise(F.col("lang_conf")))
               .drop("lang_final"))
+    else:
+        # stable decisions schema across profiles: lang_source always exists
+        # (readers of a store mixing backfill-on and -off runs would otherwise
+        # need mergeSchema to see the column at all)
+        df = df.withColumn("lang_source", F.lit("model"))
 
     near_dup_col = None
     exact_dup_col = None

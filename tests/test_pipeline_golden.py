@@ -190,3 +190,46 @@ def test_exact_duplicate_collapse_before_minhash(spark):
     assert len(dups) == 3
     assert "https://h0.org/p/0" not in dups       # earliest canonical survives
     assert all("near_duplicate" not in out[u] for u in out)  # collapsed pre-minhash
+
+
+def test_boilerplate_removal_in_pipeline(spark):
+    """profile.boilerplate_removal wires CCNet-style cross-doc line dedup
+    into the main visit (the reference runs cleanup inside DATA_VISITORS,
+    composable.py:84-88): template lines (nav items, footer) occurring in
+    >= min_df docs vanish from scrubbed_text; rows without template lines
+    keep byte-identical decisions vs the flag-off run."""
+    from cfht2caom2_spark.config import RuleProfile
+
+    pages = synth_pages(spark, 300)
+    on = RuleProfile(boilerplate_removal=True)
+    got_on = {(r["url"], r["warc_ts"]): r
+              for r in build_pipeline(pages, spark, profile=on).collect()}
+    got_off = {(r["url"], r["warc_ts"]): r
+               for r in build_pipeline(pages, spark).collect()}
+    assert set(got_on) == set(got_off)
+
+    footer = "© 2025 Example Corp — all rights reserved"
+    kept_on = [r for r in got_on.values() if r["keep"] and r["scrubbed_text"]]
+    assert kept_on
+    # the template footer/nav lines are stripped from every kept artifact
+    for r in kept_on:
+        assert footer not in r["scrubbed_text"], r["url"]
+        for line in r["scrubbed_text"].split("\n"):
+            assert line.strip() not in ("Home", "About", "Contact"), r["url"]
+    # flag-off artifacts DO contain the footer (the pass did something)
+    assert any(r["keep"] and r["scrubbed_text"] and footer in r["scrubbed_text"]
+               for r in got_off.values())
+    # rows whose text never had template lines: decision unchanged
+    same = diff = 0
+    for k, off_r in got_off.items():
+        on_r = got_on[k]
+        if off_r["scrubbed_text"] and footer not in off_r["scrubbed_text"]:
+            if (off_r["keep"], sorted(off_r["rules"])) == \
+               (on_r["keep"], sorted(on_r["rules"])):
+                same += 1
+            else:
+                diff += 1
+    assert same > 50 and diff <= same * 0.05, (same, diff)
+    # schema stable across profiles
+    assert [f for f in got_on[next(iter(got_on))].asDict()] == \
+           [f for f in got_off[next(iter(got_off))].asDict()]

@@ -69,3 +69,42 @@ def test_dedup_loser_join_has_no_mandatory_broadcast(spark):
     # and the loser sets join back exactly once (exact ∪ near, one union)
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     assert logical.count("Join LeftOuter") == 1
+
+    # with EVERY corpus-sized side-table feature on (host consensus,
+    # boilerplate line set) there is still no mandatory broadcast anywhere
+    from dataclasses import replace
+
+    from cfht2caom2_spark.config import DEFAULT_PROFILE
+
+    full = build_pipeline(
+        synth_pages(spark, 200), spark, dedupe=True,
+        profile=replace(DEFAULT_PROFILE, host_lang_backfill=True,
+                        boilerplate_removal=True))
+    assert "ResolvedHint" not in \
+        full._jdf.queryExecution().analyzed().toString()
+
+
+def test_flagship_plan_shape_under_production_conf(spark):
+    """The plan invariants must hold under the checked-in 100-TB conf
+    (conf/spark-100tb.conf): shuffle.partitions=2000 + AQE on.  Guards
+    against conf-dependent plan regressions — a plan that is narrow at 64
+    shuffle partitions but grows an exchange or a mandatory broadcast at
+    2000 would be a silent 10x on the real cluster."""
+    from cfht2caom2_spark.plans.driver_queries import q_pipeline_flagship
+    from cfht2caom2_spark.plans.pipeline import build_pipeline
+    from cfht2caom2_spark.sources.pages import synth_pages
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2000")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        plan = plan_of(q_pipeline_flagship(spark, SF))
+        assert plan.count("MapInPandas") == 1
+        assert plan.count("Exchange") <= 1
+        full = build_pipeline(synth_pages(spark, 200), spark, dedupe=True)
+        analyzed = full._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed
+        logical = full._jdf.queryExecution().optimizedPlan().toString()
+        assert logical.count("Join LeftOuter") == 1
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)

@@ -226,3 +226,69 @@ def test_stateful_first_arrival_dedup(spark, tmp_path):
     assert ("u1", False) in rows and ("u2", False) in rows and ("u3", False) in rows
     assert ("u1", True) not in rows                     # unchanged re-arrival suppressed
     assert rows.get(("u2", True)) == "CHANGED text"     # changed content admitted
+
+
+def test_state_mode_lifecycle_matches_batch(spark, tmp_path):
+    """End-to-end state-mode lifecycle (VERDICT r2 item 5; reference
+    analogue: arrival-order tests, test_composable.py:777-880): three
+    increments with dedupe off -> resume no-op -> cross-increment compaction
+    == one batch run over the same pages, modulo the two DOCUMENTED
+    differences: state ticks never flag near_duplicate (MinHash runs
+    per-dump), and compaction demotes same-url re-arrivals that batch's
+    url-granular identity keeps."""
+    from cfht2caom2_spark.operators.compact import compact_decisions
+    from cfht2caom2_spark.plans.pipeline import build_pipeline
+    from cfht2caom2_spark.sources.pages import synth_pages
+    from pyspark.sql import functions as F
+
+    n = 200
+    pages = synth_pages(spark, n)
+    doc_i = F.regexp_extract("url", r"/p/(\d{9})", 1).cast("long")
+    table = SnapshotTable(f"{tmp_path}/pages")
+    out = str(tmp_path / "out")
+    bm = str(tmp_path / "bm.json")
+    total = 0
+    for lo, hi in ((0, 70), (70, 140), (140, n)):
+        table.append(pages.filter((doc_i >= lo) & (doc_i < hi)))
+        total += process_increment(spark, table, out, bm)["processed"]
+    assert total == n
+    # resume: no new snapshot -> no-op tick
+    assert process_increment(spark, table, out, bm)["processed"] == 0
+
+    compact_decisions(spark, f"{out}/decisions", f"{out}/compacted")
+    compacted = {(r["url"], r["warc_ts"]): r for r in
+                 spark.read.parquet(f"{out}/compacted").collect()}
+    batch = {(r["url"], r["warc_ts"]): r for r in
+             build_pipeline(pages, spark, dedupe=True).collect()}
+    assert set(compacted) == set(batch) and len(batch) == n
+
+    # compaction invariant: at most one kept row per content hash
+    kept_by_sha: dict[str, int] = {}
+    for r in compacted.values():
+        if r["keep"] and r["extracted_sha256"]:
+            kept_by_sha[r["extracted_sha256"]] = \
+                kept_by_sha.get(r["extracted_sha256"], 0) + 1
+    assert kept_by_sha and all(v == 1 for v in kept_by_sha.values())
+
+    sha_count: dict[str, int] = {}
+    for r in batch.values():
+        if r["extracted_sha256"]:
+            sha_count[r["extracted_sha256"]] = \
+                sha_count.get(r["extracted_sha256"], 0) + 1
+    checked = 0
+    for k, b in batch.items():
+        c = compacted[k]
+        if "near_duplicate" in b["rules"]:
+            continue  # documented difference: no per-increment MinHash
+        if b["extracted_sha256"] and sha_count[b["extracted_sha256"]] > 1:
+            # re-arrival group: compacted keeps exactly the earliest; the
+            # demoted row differs from batch by exactly {exact_duplicate}
+            if not c["keep"] and b["keep"]:
+                assert set(c["rules"]) - set(b["rules"]) == {"exact_duplicate"}
+                assert c["scrubbed_text"] is None
+            continue
+        # unique-content rows: decision identical end-to-end
+        assert (c["keep"], sorted(c["rules"]), c["scrubbed_text"]) == \
+               (b["keep"], sorted(b["rules"]), b["scrubbed_text"]), k
+        checked += 1
+    assert checked >= n * 0.7, checked
