@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "q_merge_last_wins", "q_langid_heuristic", "q_rule_report",
     "q_dedup_clusters", "q_preview_stats", "q_repetition_stats",
     "q_pipeline_heuristic", "q_pipeline_flagship_det", "q_boilerplate_lines",
+    "q_decontaminate", "q_stratified_sample", "q_mixture_report",
     "q_pipeline_flagship",
 ]
 

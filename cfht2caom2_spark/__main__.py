@@ -41,6 +41,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="strip cross-document boilerplate lines "
                         "(trimmed line in >= 3 distinct docs) before "
                         "stats + scrub")
+    b.add_argument("--benchmark", default=None,
+                   help="parquet of eval-suite docs (column `text`); docs "
+                        "overlapping it fire the `contaminated` drop rule")
 
     s = sub.add_parser("state", help="incremental snapshot-range tick")
     s.add_argument("--table", required=True, help="SnapshotTable root")
@@ -83,11 +86,14 @@ def main(argv: list[str] | None = None) -> int:
                           dedup_policy=args.dedup_policy,
                           host_lang_backfill=args.host_backfill,
                           boilerplate_removal=args.boilerplate)
+        benchmark = (spark.read.parquet(args.benchmark)
+                     if args.benchmark else None)
         result = run_batch(spark, pages, args.out, profile=profile,
                            snapshot_id=args.snapshot_id,
                            resume=not args.no_resume,
                            dedupe=not args.no_dedupe,
-                           previews=not args.no_previews)
+                           previews=not args.no_previews,
+                           benchmark=benchmark)
         print(json.dumps(result))
     elif args.mode == "state":
         from .sources.table import SnapshotTable

@@ -101,6 +101,18 @@ class RuleProfile:
     # property of the page as crawled.
     boilerplate_removal: bool = False
     boilerplate_min_df: int = 3
+    # Benchmark decontamination (operators/decontam.py): when the caller
+    # hands build_pipeline an eval-suite DataFrame, a doc sharing >=
+    # decontam_min_overlap distinct word decontam_k-grams with ANY suite doc
+    # fires the `contaminated` rule (reference analogue: the rejected-cache
+    # lookup consulted before processing, cfht_name.py:560-575).  k=13 is
+    # the GPT-3 appendix-C choice, and it matters: shared template
+    # boilerplate (footers, navs — ~8 tokens) can never span a 13-gram, so
+    # a single collision is already a high-precision contamination signal;
+    # at k=3 the common footer alone cross-matched every page (measured on
+    # the synthetic corpus: 122/294 false flags).
+    decontam_k: int = 13
+    decontam_min_overlap: int = 1
 
     def rule_versions(self) -> dict[str, str]:
         """Per-rule version map recorded in lineage rows (north_rule)."""
@@ -112,7 +124,7 @@ RULE_IDS: tuple[str, ...] = (
     "empty_payload", "too_short", "too_long", "word_len_low", "word_len_high",
     "symbol_ratio", "stopword_frac", "alpha_frac", "repeated_lines",
     "perplexity", "lang_conf", "lang_blocked", "toxicity",
-    "exact_duplicate", "near_duplicate",
+    "exact_duplicate", "near_duplicate", "contaminated",
 )
 
 DEFAULT_PROFILE = RuleProfile()

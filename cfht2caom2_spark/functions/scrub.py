@@ -19,13 +19,21 @@ from pyspark.sql import functions as F
 
 from ..config import PII_PATTERNS
 
+# Alternation of every pattern: one scan answering "could anything match?".
+# Most web documents contain no PII-shaped substring, so the expensive
+# replace chain (len(PII_PATTERNS) full-text passes) is gated behind this
+# single pass — CASE WHEN branches are lazily evaluated in codegen, so clean
+# rows pay exactly one regex scan.  regexp_replace is the identity when its
+# pattern doesn't match, so gating cannot change any result byte.
+_ANY_PII = "|".join(f"(?:{p})" for _rule, p, _repl in PII_PATTERNS)
+
 
 def scrubbed(text: Column) -> Column:
     """The scrub chain: apply every pattern in declared order."""
     out = text
     for _rule, pattern, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pattern, repl)
-    return out
+    return F.when(text.rlike(_ANY_PII), out).otherwise(text)
 
 
 def scrub_rules_fired(text: Column) -> Column:
@@ -34,8 +42,11 @@ def scrub_rules_fired(text: Column) -> Column:
         F.when(text.rlike(pattern), F.lit(rule))
         for rule, pattern, _repl in PII_PATTERNS
     ]
-    arr = F.array(*flags)
-    return F.array_sort(F.filter(arr, lambda x: x.isNotNull()))
+    arr = F.array_sort(F.filter(F.array(*flags), lambda x: x.isNotNull()))
+    # same one-scan gate as `scrubbed`: per-pattern rlikes only run on rows
+    # where the alternation found something PII-shaped
+    return F.when(text.rlike(_ANY_PII), arr).otherwise(
+        F.array().cast("array<string>"))
 
 
 def with_scrub(df: DataFrame, text_col: str = "extracted_text") -> DataFrame:

@@ -46,7 +46,8 @@ def with_decision(df: DataFrame, profile: RuleProfile,
                   lang_col: str | None = "lang_pred",
                   include_model_rules: bool = True,
                   near_dup_col: str | None = None,
-                  exact_dup_col: str | None = None) -> DataFrame:
+                  exact_dup_col: str | None = None,
+                  contaminated_col: str | None = None) -> DataFrame:
     """Append ``rules array<string>`` + ``keep boolean``.
 
     Expects the quality-stat columns (functions.quality.with_quality_stats)
@@ -68,6 +69,8 @@ def with_decision(df: DataFrame, profile: RuleProfile,
         rules["near_duplicate"] = F.col(near_dup_col)
     if exact_dup_col is not None:
         rules["exact_duplicate"] = F.col(exact_dup_col)
+    if contaminated_col is not None:
+        rules["contaminated"] = F.col(contaminated_col)
 
     # a null payload fires ONLY empty_payload: stats are null there, and
     # assemble_rules treats null conditions as not-fired.

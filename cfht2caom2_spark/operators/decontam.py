@@ -1,0 +1,91 @@
+"""Benchmark decontamination — flag training docs overlapping an eval set.
+
+The standard LLM-training-data hygiene pass (GPT-3 appendix C / Lee et al.
+2022 §6 shape): a training document is *contaminated* when it shares at least
+``min_overlap`` distinct word k-grams with any document of a benchmark/eval
+suite.  Reference analogue: the reject-list lookup consulted before any file
+is processed (reference cfht_name.py:560-575 checks the rejected cache and
+skips known-bad inputs — here the "known set" is the eval suite and the
+consequence is a flag, not a skip).
+
+Scale shape (10^12 training docs, ~10^6 benchmark docs):
+  * the benchmark side is BOUNDED (eval suites are tiny and fixed), so its
+    distinct-gram table is genuinely broadcastable — this is the one join in
+    the engine where a broadcast hint is correct by construction, not by
+    runtime luck.  ~10^8 grams x 8 B ≈ 1 GB worst case; below executor
+    memory, and the hint is still left to AQE by default (``hint_broadcast``)
+    so a pathological suite degrades to a shuffle join instead of an OOM.
+  * the training side explodes to (id, gram_hash) — slim 16-B rows — but the
+    inner join against the benchmark grams filters that stream map-side
+    (broadcast) BEFORE any shuffle: only matching grams (a tiny fraction of
+    the corpus) reach the per-doc count aggregation.
+  * per-doc total gram counts are computed narrow (array size), never
+    shuffled.
+
+Gram identity uses the md5-derived ``shingle_hash`` (oracle-portable; the
+production swap to crc32 via ``hash_fn=shingle_hash_fast`` halves the cost,
+same as the dedup path).  Hash collisions can only ADD overlap counts
+(never lose a true overlap), and both engines hash identically, so the
+DuckDB parity check is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingle_hash, word_shingles
+
+
+def gram_set(text: Column, k: int = 3, hash_fn=None) -> Column:
+    """Distinct hashed word k-grams of a text column (array<bigint>)."""
+    return F.array_distinct(
+        F.transform(word_shingles(text, k), hash_fn or shingle_hash))
+
+
+def benchmark_grams(bench: DataFrame, text_col: str = "text", k: int = 3,
+                    hash_fn=None) -> DataFrame:
+    """One-column distinct gram table of the whole eval suite."""
+    return (
+        bench.select(F.explode(gram_set(F.col(text_col), k, hash_fn))
+                     .alias("bench_gram"))
+        .distinct()
+    )
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 3, min_overlap: int = 5,
+                  hash_fn=None, hint_broadcast: bool = False) -> DataFrame:
+    """Per-doc contamination flags: (id, n_grams, n_overlap, contaminated).
+
+    ``n_overlap`` counts the doc's distinct grams that appear anywhere in the
+    benchmark suite; ``contaminated`` = n_overlap >= min_overlap.  Every
+    input doc appears exactly once in the output (left join semantics).
+    """
+    grams = docs.select(
+        F.col(id_col),
+        gram_set(F.col(text_col), k, hash_fn).alias("_grams"),
+    )
+    bench_g = benchmark_grams(bench, text_col=text_col, k=k, hash_fn=hash_fn)
+    if hint_broadcast:
+        bench_g = F.broadcast(bench_g)
+
+    overlap = (
+        grams.select(id_col, F.explode("_grams").alias("_g"))
+        .join(bench_g, F.col("_g") == F.col("bench_gram"), "inner")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n_overlap"))
+    )
+    return (
+        grams.select(id_col, F.size("_grams").cast("bigint").alias("n_grams"))
+        .join(overlap, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce(F.col("_n_overlap"), F.lit(0)).cast("bigint")
+            .alias("n_overlap"),
+            (F.coalesce(F.col("_n_overlap"), F.lit(0)) >= min_overlap)
+            .alias("contaminated"),
+        )
+    )

@@ -1,0 +1,59 @@
+"""Deterministic stratified sampling — the data-mixing primitive.
+
+Training-data pipelines rarely train on the raw corpus: each stratum
+(language, source, quality bucket) gets a target sampling rate so the final
+mixture matches a token budget.  The sampler here is a *pure function of the
+row key*: keep a row iff ``hash(key) mod M < rate * M``.  That makes the
+sample (a) reproducible across runs/partitionings/cluster sizes, (b) a
+narrow map-side filter — zero shuffle, pushes right down onto the scan —
+and (c) consistent across tables: any other table keyed by the same id
+selects the SAME rows, so features joined later stay aligned.
+
+Reference analogue: rule-profile dispatch (P13) — per-category config chosen
+by a row attribute (reference metadata.py:121-126 cache keys select per-
+instrument behavior); here the per-stratum attribute selects a rate.
+
+The hash is the md5-derived oracle-portable one (functions expressible
+verbatim in DuckDB), reduced mod 1e6 for rate resolution of 1e-6.  At crawl
+scale the same construction runs with xxhash64 (JVM intrinsic) — swap
+``bucket_fn``; determinism and uniformity arguments are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 1_000_000
+
+
+def sample_bucket(key: Column) -> Column:
+    """Uniform bucket in [0, 1e6) — first 15 md5 hex chars mod 1e6.
+    (DuckDB twin: ``('0x' || substr(md5(key), 1, 15))::BIGINT % 1000000``.)"""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10)
+    return h.cast("bigint") % BUCKETS
+
+
+def sample_bucket_fast(key: Column) -> Column:
+    """Production bucket: xxhash64 (JVM intrinsic, no hex round-trip)."""
+    return F.pmod(F.xxhash64(key.cast("string")), F.lit(BUCKETS))
+
+
+def stratified_sample(df: DataFrame, key_col: str, stratum_col: str,
+                      rates: dict[str, float], default_rate: float = 0.0,
+                      bucket_fn=None) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically.
+
+    ``rates``: stratum value -> keep rate in [0, 1].  Strata absent from the
+    map use ``default_rate``.  The rate lookup compiles to a CASE chain
+    (strata cardinality is config-sized), the whole filter is one codegen'd
+    predicate on the scan — no shuffle, no Python.
+    """
+    bucket = (bucket_fn or sample_bucket)(F.col(key_col))
+    # integer thresholds computed driver-side: engine-independent (no float
+    # multiply at execution time, so the DuckDB oracle can't diverge by ulp)
+    threshold = F.lit(int(round(default_rate * BUCKETS)))
+    for value, r in rates.items():
+        threshold = F.when(F.col(stratum_col) == value,
+                           F.lit(int(round(r * BUCKETS)))).otherwise(threshold)
+    return df.filter(bucket < threshold)

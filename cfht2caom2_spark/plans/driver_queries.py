@@ -1366,3 +1366,122 @@ ORACLES["q_pipeline_flagship_det"] = Q_PIPELINE_FLAGSHIP_DET_SQL
 NO_ORACLE_QUERIES: dict[str, QueryFn] = {
     "q_pipeline_flagship": q_pipeline_flagship,
 }
+
+
+# --------------------------------------------------------------------------
+# decontamination — benchmark n-gram overlap (operators/decontam.py)
+# --------------------------------------------------------------------------
+
+DECONTAM_BENCH_MOD = 97     # doc_id % 97 == 0 -> the synthetic "eval suite"
+DECONTAM_K = 3
+DECONTAM_MIN_OVERLAP = 5
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs sharing >= 5 distinct word 3-grams with the
+    benchmark subset (GPT-3-style decontamination; the benchmark is a
+    deterministic slice of the same table, so the slice's own members show
+    up fully contaminated — the expected self-overlap signal)."""
+    from ..operators.decontam import decontaminate
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+    return decontaminate(docs, bench, id_col="doc_id", text_col="text",
+                         k=DECONTAM_K, min_overlap=DECONTAM_MIN_OVERLAP,
+                         hash_fn=shingle_hash)
+
+
+Q_DECONTAMINATE_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform({_shingles_sql(_TOKS, DECONTAM_K)},
+                                      s -> {_SHINGLE_HASH.format(s='s')}))
+         AS grams
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT unnest(grams) AS bench_gram FROM g
+  WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+),
+e AS (SELECT doc_id, unnest(grams) AS gm FROM g),
+ov AS (
+  SELECT e.doc_id, count(*)::BIGINT AS n_overlap
+  FROM e JOIN bg ON e.gm = bg.bench_gram
+  GROUP BY e.doc_id
+)
+SELECT g.doc_id, len(g.grams)::BIGINT AS n_grams,
+       coalesce(ov.n_overlap, 0)::BIGINT AS n_overlap,
+       coalesce(ov.n_overlap, 0) >= {DECONTAM_MIN_OVERLAP} AS contaminated
+FROM g LEFT JOIN ov ON g.doc_id = ov.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# stratified sampling / data mixing (operators/sampling.py)
+# --------------------------------------------------------------------------
+
+MIX_RATES = {"en": 0.6, "fr": 0.35, "de": 0.35, "es": 0.35, "zh": 0.2}
+MIX_DEFAULT_RATE = 0.05
+
+
+def _mix_bucket_sql(key: str = "doc_id") -> str:
+    return (f"(('0x' || substr(md5({key}::VARCHAR), 1, 15))::BIGINT"
+            f" % 1000000)")
+
+
+def _mix_threshold_sql(stratum: str = "lang") -> str:
+    whens = " ".join(
+        f"WHEN {stratum} = '{v}' THEN {int(round(r * 1_000_000))}"
+        for v, r in MIX_RATES.items()
+    )
+    return f"CASE {whens} ELSE {int(round(MIX_DEFAULT_RATE * 1_000_000))} END"
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language Bernoulli sample — the data-mixing filter.
+    Pure map-side predicate (no shuffle); same rows at any parallelism."""
+    from ..operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, key_col="doc_id", stratum_col="lang",
+        rates=MIX_RATES, default_rate=MIX_DEFAULT_RATE,
+    ).select("doc_id", "lang", "source")
+
+
+Q_STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_mix_bucket_sql()} < {_mix_threshold_sql()}
+"""
+
+
+def q_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-mix audit: docs + whitespace tokens per language stratum."""
+    from ..operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        docs, key_col="doc_id", stratum_col="lang",
+        rates=MIX_RATES, default_rate=MIX_DEFAULT_RATE,
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TK.ws_token_count(F.col("text"))).alias("tokens"),
+    )
+
+
+Q_MIXTURE_REPORT_SQL = f"""
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(len({_TOKS}))::BIGINT AS tokens
+FROM documents
+WHERE {_mix_bucket_sql()} < {_mix_threshold_sql()}
+GROUP BY lang
+"""
+
+
+QUERIES["q_decontaminate"] = q_decontaminate
+ORACLES["q_decontaminate"] = Q_DECONTAMINATE_SQL
+QUERIES["q_stratified_sample"] = q_stratified_sample
+ORACLES["q_stratified_sample"] = Q_STRATIFIED_SAMPLE_SQL
+QUERIES["q_mixture_report"] = q_mixture_report
+ORACLES["q_mixture_report"] = Q_MIXTURE_REPORT_SQL

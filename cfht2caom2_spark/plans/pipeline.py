@@ -54,7 +54,9 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
                    has_html: bool = True,
                    fused: bool = True,
                    persist_tracker: list | None = None,
-                   eager_persist: bool = True) -> DataFrame:
+                   eager_persist: bool = True,
+                   benchmark: DataFrame | None = None,
+                   benchmark_text_col: str = "text") -> DataFrame:
     """Pure plan builder: pages -> decisions.  Imported by batch main,
     streaming foreachBatch, pytest, and the driver entry — the same plan runs
     everywhere (the reference's SCRAPE-mode purity, SURVEY.md §3.3).
@@ -102,7 +104,8 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
     # model scoring execute ONCE, not once per subtree (the reference's
     # headers-fetched-once discipline, cfht_name.py:525-548; SURVEY §4
     # "cache the post-extraction DataFrame before fanning out")
-    if dedupe or profile.host_lang_backfill or profile.boilerplate_removal:
+    if (dedupe or profile.host_lang_backfill or profile.boilerplate_removal
+            or benchmark is not None):
         from pyspark import StorageLevel
 
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -187,6 +190,38 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
         # need mergeSchema to see the column at all)
         df = df.withColumn("lang_source", F.lit("model"))
 
+    contam_col = None
+    if benchmark is not None:
+        # Benchmark decontamination as a pipeline rule (reference analogue:
+        # the rejected-cache lookup before processing, cfht_name.py:560-575).
+        # Grams are computed on the text the corpus would TRAIN on (post-
+        # boilerplate extraction); the eval-suite gram table is bounded, so
+        # the inner join filters the doc-gram stream map-side (AQE broadcast)
+        # before the only shuffle, the per-row overlap count.  Joined back by
+        # a unique row key (urls re-arrive; url alone would cross-count).
+        from ..operators.decontam import decontaminate
+        from ..operators.dedup import shingle_hash_fast
+
+        row_key = F.xxhash64(F.col(id_col), F.col(order_col))
+        flags = decontaminate(
+            df.select(row_key.alias("_dc_id"), "extracted_text")
+            .filter(F.col("extracted_text").isNotNull()),
+            benchmark.select(
+                F.col(benchmark_text_col).alias("extracted_text")),
+            id_col="_dc_id", text_col="extracted_text",
+            k=profile.decontam_k,
+            min_overlap=profile.decontam_min_overlap,
+            hash_fn=shingle_hash_fast,
+        ).select("_dc_id", "contaminated")
+        df = (
+            df.withColumn("_dc_id", row_key)
+            .join(flags, on="_dc_id", how="left")
+            .withColumn("_contam",
+                        F.coalesce(F.col("contaminated"), F.lit(False)))
+            .drop("_dc_id", "contaminated")
+        )
+        contam_col = "_contam"
+
     near_dup_col = None
     exact_dup_col = None
     if dedupe:
@@ -258,7 +293,8 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
         near_dup_col = "_near_dup"
 
     df = with_decision(df, profile, near_dup_col=near_dup_col,
-                       exact_dup_col=exact_dup_col)
+                       exact_dup_col=exact_dup_col,
+                       contaminated_col=contam_col)
     # scrubbed text is the stored artifact only for kept docs (S10 analogue)
     out_cols = [c for c in OUTPUT_COLUMNS if c in df.columns]
     return df.select(*out_cols).withColumn(
@@ -269,7 +305,8 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
 def run_batch(spark: SparkSession, pages: DataFrame, out_dir: str,
               profile: RuleProfile = DEFAULT_PROFILE,
               snapshot_id: int = 0, resume: bool = True,
-              dedupe: bool = True, previews: bool = True) -> dict:
+              dedupe: bool = True, previews: bool = True,
+              benchmark: DataFrame | None = None) -> dict:
     """Materializing driver: resume anti-join -> pipeline -> decisions +
     previews + lineage.  Decisions are written partitioned by day with
     dynamic partition overwrite, so re-running a day is idempotent
@@ -289,7 +326,8 @@ def run_batch(spark: SparkSession, pages: DataFrame, out_dir: str,
 
     persisted: list = []
     decisions = build_pipeline(work, spark, profile, dedupe=dedupe,
-                               persist_tracker=persisted)
+                               persist_tracker=persisted,
+                               benchmark=benchmark)
     decisions = decisions.withColumn(
         "p_day", F.date_format(F.col("warc_ts"), "yyyy-MM-dd")
     )

@@ -349,3 +349,104 @@ def test_python_minhash_matches_jvm(spark):
     ).collect()]
     py = [minhash_sig_py(t, A, B, 3) for t in texts]
     assert jvm == py
+
+
+# --- decontamination ---------------------------------------------------------
+
+def test_decontaminate_flags_exact_and_spares_partial(spark):
+    """Exact benchmark copy >= min_overlap grams -> contaminated; a 4-word
+    shared run (2 shared 3-grams) stays under the default threshold; fully
+    disjoint text has zero overlap."""
+    from cfht2caom2_spark.operators.decontam import decontaminate
+
+    bench_text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                  "lambda mu")
+    train = spark.createDataFrame(
+        [
+            (1, bench_text),                                # exact copy
+            (2, "alpha beta gamma delta unrelated words follow here now"),
+            (3, "totally disjoint content about something else entirely ok"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)],
+                                  "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           decontaminate(train, bench, min_overlap=5).collect()}
+    assert out[1]["contaminated"] and out[1]["n_overlap"] == out[1]["n_grams"]
+    assert not out[2]["contaminated"] and out[2]["n_overlap"] == 2
+    assert not out[3]["contaminated"] and out[3]["n_overlap"] == 0
+    assert len(out) == 3  # every input doc appears exactly once
+
+
+def test_decontaminate_hash_fn_swap_same_flags(spark):
+    """Production crc32 hash and the md5 oracle hash agree on the flags
+    (collisions can only add counts; identical texts always collide)."""
+    from cfht2caom2_spark.operators.decontam import decontaminate
+    from cfht2caom2_spark.operators.dedup import (shingle_hash,
+                                                  shingle_hash_fast)
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} shares this long common sentence about rivers and "
+              "bridges every single morning" if i % 2 == 0
+          else f"unique content {i} with nothing borrowed at all beyond")
+         for i in range(10)],
+        "doc_id bigint, text string")
+    bench = docs.filter(F.col("doc_id") == 0)
+    a = {r["doc_id"]: r["contaminated"]
+         for r in decontaminate(docs, bench, hash_fn=shingle_hash).collect()}
+    b = {r["doc_id"]: r["contaminated"]
+         for r in decontaminate(docs, bench,
+                                hash_fn=shingle_hash_fast).collect()}
+    assert a == b
+    assert a[0] is True  # the benchmark doc itself is fully self-contaminated
+
+
+# --- stratified sampling -----------------------------------------------------
+
+def test_stratified_sample_deterministic_and_nested(spark):
+    """Sampling is a pure function of the key (partitioning-independent) and
+    monotone in the rate (the 20% sample is a subset of the 50% sample)."""
+    from cfht2caom2_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 3 else "fr") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+
+    s_small = stratified_sample(df, "doc_id", "lang", {"en": 0.2, "fr": 0.2})
+    s_big = stratified_sample(df.repartition(7), "doc_id", "lang",
+                              {"en": 0.5, "fr": 0.5})
+    small_ids = {r["doc_id"] for r in s_small.collect()}
+    big_ids = {r["doc_id"] for r in s_big.collect()}
+    assert small_ids <= big_ids                      # nested samples
+    assert small_ids == {r["doc_id"] for r in s_small.collect()}  # stable
+    # rate lands near nominal (md5 uniformity; 3000 keys, +-5 sigma bounds)
+    assert 0.14 < len(small_ids) / 3000 < 0.26
+    assert 0.44 < len(big_ids) / 3000 < 0.56
+
+
+def test_stratified_sample_default_rate_excludes(spark):
+    from cfht2caom2_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame([(i, "xx") for i in range(100)],
+                               "doc_id bigint, lang string")
+    assert stratified_sample(df, "doc_id", "lang", {"en": 1.0}).count() == 0
+    assert stratified_sample(df, "doc_id", "lang", {},
+                             default_rate=1.0).count() == 100
+
+
+def test_stratified_sample_fast_bucket_same_shape(spark):
+    """xxhash64 production bucket: same operator contract (determinism +
+    nesting), different hash family."""
+    from cfht2caom2_spark.operators.sampling import (sample_bucket_fast,
+                                                     stratified_sample)
+
+    df = spark.createDataFrame([(i, "en") for i in range(2000)],
+                               "doc_id bigint, lang string")
+    lo = stratified_sample(df, "doc_id", "lang", {"en": 0.3},
+                           bucket_fn=sample_bucket_fast)
+    hi = stratified_sample(df, "doc_id", "lang", {"en": 0.7},
+                           bucket_fn=sample_bucket_fast)
+    lo_ids = {r["doc_id"] for r in lo.collect()}
+    hi_ids = {r["doc_id"] for r in hi.collect()}
+    assert lo_ids <= hi_ids
+    assert 0.22 < len(lo_ids) / 2000 < 0.38

@@ -233,3 +233,30 @@ def test_boilerplate_removal_in_pipeline(spark):
     # schema stable across profiles
     assert [f for f in got_on[next(iter(got_on))].asDict()] == \
            [f for f in got_off[next(iter(got_off))].asDict()]
+
+
+def test_benchmark_decontamination_in_pipeline(spark):
+    """A doc whose text IS in the eval suite fires `contaminated` and drops;
+    docs without the rule keep exactly their benchmark-free decision (the
+    flag is additive, never rewrites other rules)."""
+    from pyspark.sql import functions as F
+
+    pages = synth_pages(spark, 300)
+    base = build_pipeline(pages, spark, dedupe=False)
+    base_rows = {r["url"]: r for r in base.collect()}
+    target_url = min(u for u, r in base_rows.items()
+                     if r["keep"] and r["scrubbed_text"])
+    bench = spark.createDataFrame(
+        [(base_rows[target_url]["scrubbed_text"],)], "text string")
+
+    out = build_pipeline(pages, spark, dedupe=False, benchmark=bench)
+    rows = {r["url"]: r for r in out.collect()}
+    assert len(rows) == len(base_rows)
+    tr = rows[target_url]
+    assert "contaminated" in tr["rules"] and not tr["keep"]
+    n_contam = sum(1 for r in rows.values() if "contaminated" in r["rules"])
+    assert n_contam < len(rows) // 4  # the suite taints its matches, not the corpus
+    for url, r in rows.items():
+        if "contaminated" not in r["rules"]:
+            assert list(r["rules"]) == list(base_rows[url]["rules"])
+            assert r["keep"] == base_rows[url]["keep"]

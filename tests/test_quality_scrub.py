@@ -94,3 +94,29 @@ def test_scrub_phone_formats_without_country_code(spark):
     row = with_scrub(df).collect()[0]
     assert "555" not in row["scrubbed_text"]
     assert row["scrubbed_text"].count("<PHONE>") == 3
+
+
+def test_scrub_prefilter_gate_is_identity_preserving(spark):
+    """The one-scan PII prefilter (scrub._ANY_PII gate) must be byte-
+    invisible: gated chain == raw ungated chain on clean, PII-bearing,
+    empty and null rows alike."""
+    from pyspark.sql import functions as F
+
+    from cfht2caom2_spark.config import PII_PATTERNS
+    from cfht2caom2_spark.functions.scrub import scrubbed
+
+    rows = [
+        (1, "mail a@b.com call 555-123-4567 ssn 123-45-6789 ip 10.0.0.1"),
+        (2, "perfectly clean prose with no sensitive fields anywhere"),
+        (3, ""),
+        (4, None),
+        (5, "edge email-ish a@b without tld and 12-34 partial digits"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    raw = F.col("t")
+    for _rule, pattern, repl in PII_PATTERNS:
+        raw = F.regexp_replace(raw, pattern, repl)
+    out = df.select(
+        scrubbed(F.col("t")).alias("gated"), raw.alias("ungated")).collect()
+    for r in out:
+        assert r["gated"] == r["ungated"]
