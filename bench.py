@@ -287,6 +287,9 @@ def run_scaling(n_rows: int = 320_000, n_windows: int = 3) -> None:
         "measured_at": now,
         "source": "bench.py --scaling (sole writer of this file); "
                   "methodology in BASELINE.md",
+        # every measured pair of this run (headline above = the first pair);
+        # secondary pairs (e.g. 8->32) ride here with their host ceilings
+        "all_pairs": summary["pairs"],
     }
     with open(_EVIDENCE_PATH, "w") as fh:
         json.dump(evidence, fh)
