@@ -132,3 +132,55 @@ def heuristic_rules(profile: RuleProfile) -> dict[str, Column]:
         "repeated_lines": F.col("repeated_line_frac") > profile.max_repeated_line_frac,
         "toxicity": F.col("toxicity_hits") > profile.max_toxicity_hits,
     }
+
+
+# --- model-based quality score ----------------------------------------------
+#
+# The DCLM/FineWeb-style continuous quality signal: a linear model over the
+# heuristic stats squashed to (0, 1).  Downstream mixing samples by score
+# bucket instead of a hard keep/drop (operators/sampling.py).  The weights
+# here are fixed, documented placeholders — a trained classifier (fastText /
+# logistic regression on annotated pages) drops in as a new weight vector,
+# same column formula, no plan change.
+#
+# Engine-portability constraint (the reason there is no exp/ln here): the
+# DuckDB oracle compares DOUBLES BITWISE, and transcendental functions are
+# not guaranteed identically rounded across libms.  Every op used — +, -, *,
+# /, abs, sqrt — IS correctly rounded under IEEE-754, so Spark and DuckDB
+# agree to the last bit.  The squash is the algebraic sigmoid
+# z -> 0.5 + z / (2 * (1 + |z|)), monotone, range (0, 1).
+
+QUALITY_WEIGHTS = {
+    "bias": -2.0,
+    "sqrt_n_words": 0.08,       # saturating size credit (sqrt, not log: IEEE-exact)
+    "stopword_frac": 4.0,       # natural-language evidence
+    "alpha_word_frac": 2.0,
+    "symbol_ratio": -8.0,       # markup/ascii-art penalty
+    "repeated_line_frac": -3.0,
+    "mean_word_len_dev": -0.15, # distance from the ~5-char prose sweet spot
+}
+
+
+def quality_score(n_words_c: Column, mean_word_len_c: Column,
+                  symbol_ratio_c: Column, stopword_frac_c: Column,
+                  alpha_word_frac_c: Column,
+                  repeated_line_frac_c: Column) -> Column:
+    w = QUALITY_WEIGHTS
+    z = (F.lit(w["bias"])
+         + F.lit(w["sqrt_n_words"]) * F.sqrt(n_words_c.cast("double"))
+         + F.lit(w["stopword_frac"]) * stopword_frac_c
+         + F.lit(w["alpha_word_frac"]) * alpha_word_frac_c
+         + F.lit(w["symbol_ratio"]) * symbol_ratio_c
+         + F.lit(w["repeated_line_frac"]) * repeated_line_frac_c
+         + F.lit(w["mean_word_len_dev"])
+         * F.abs(mean_word_len_c - F.lit(5.0)))
+    return F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+
+
+def with_quality_score(df: DataFrame) -> DataFrame:
+    """Append ``quality_score`` from the stat columns (with_quality_stats
+    must have run).  Null stats (empty payload) propagate to a null score."""
+    return df.withColumn("quality_score", quality_score(
+        F.col("n_words"), F.col("mean_word_len"), F.col("symbol_ratio"),
+        F.col("stopword_frac"), F.col("alpha_word_frac"),
+        F.col("repeated_line_frac")))

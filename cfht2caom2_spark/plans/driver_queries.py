@@ -1277,6 +1277,20 @@ def _flagship_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_score_sql(n_words: str = "n_words") -> str:
+    """DuckDB twin of functions.quality.quality_score — same literals, same
+    left-associated op order, only IEEE-exact ops (+,-,*,/,abs,sqrt), so the
+    doubles match Spark's bitwise."""
+    from ..functions.quality import QUALITY_WEIGHTS as W
+    z = (f"({W['bias']} + {W['sqrt_n_words']} * sqrt({n_words}::DOUBLE)"
+         f" + {W['stopword_frac']} * stopword_frac"
+         f" + {W['alpha_word_frac']} * alpha_word_frac"
+         f" + {W['symbol_ratio']} * symbol_ratio"
+         f" + {W['repeated_line_frac']} * repeated_line_frac"
+         f" + {W['mean_word_len_dev']} * abs(mean_word_len - 5.0))")
+    return f"(0.5 + {z} / (2.0 * (1.0 + abs({z}))))"
+
+
 def q_pipeline_flagship_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL build_pipeline under a constant language model — every output
     column deterministic, so the driver hash-checks the actual flagship plan
@@ -1299,6 +1313,7 @@ def q_pipeline_flagship_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "url", "extracted_sha256", "n_words", "mean_word_len", "symbol_ratio",
         "stopword_frac", "alpha_word_frac", "repeated_line_frac",
+        "quality_score",
         F.array_join("rules", ",").alias("rules_str"), "keep",
         "scrubbed_text",
     )
@@ -1347,6 +1362,7 @@ SELECT url,
   CASE WHEN text IS NOT NULL THEN sha256(text) END AS extracted_sha256,
   n_words, mean_word_len, symbol_ratio, stopword_frac, alpha_word_frac,
   repeated_line_frac,
+  {_quality_score_sql()} AS quality_score,
   coalesce(array_to_string(rules, ','), '') AS rules_str,
   coalesce(len(rules), 0) = 0 AS keep,
   CASE WHEN coalesce(len(rules), 0) = 0
@@ -1485,3 +1501,57 @@ QUERIES["q_stratified_sample"] = q_stratified_sample
 ORACLES["q_stratified_sample"] = Q_STRATIFIED_SAMPLE_SQL
 QUERIES["q_mixture_report"] = q_mixture_report
 ORACLES["q_mixture_report"] = Q_MIXTURE_REPORT_SQL
+
+
+# --------------------------------------------------------------------------
+# model-based quality score (functions/quality.py::quality_score)
+# --------------------------------------------------------------------------
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous quality signal + decile bucket per document — the
+    DCLM/FineWeb-style mixing feature (sampling by bucket happens via
+    operators/sampling.py)."""
+    from ..functions.quality import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    docs = docs.withColumn("_toks", Q.tokens(text))
+    t = F.col("_toks")
+    stats = docs.select(
+        "doc_id",
+        Q.n_words(t).alias("n_words"),
+        Q.mean_word_len(t).alias("mean_word_len"),
+        Q.symbol_ratio(text).alias("symbol_ratio"),
+        Q.stopword_frac(t, "en").alias("stopword_frac"),
+        Q.alpha_word_frac(t).alias("alpha_word_frac"),
+        Q.repeated_line_frac(text).alias("repeated_line_frac"),
+    )
+    scored = stats.withColumn("quality_score", quality_score(
+        F.col("n_words"), F.col("mean_word_len"), F.col("symbol_ratio"),
+        F.col("stopword_frac"), F.col("alpha_word_frac"),
+        F.col("repeated_line_frac")))
+    return scored.select(
+        "doc_id", "quality_score",
+        F.least(F.floor(F.col("quality_score") * 10), F.lit(9))
+        .cast("bigint").alias("q_decile"),
+    )
+
+
+Q_QUALITY_SCORE_SQL = f"""
+WITH t AS ({_STATS_CTE_SQL.strip()}
+),
+s AS (
+  SELECT doc_id,
+{_STATS_EXPRS_SQL.strip()}
+  FROM t
+),
+q AS (
+  SELECT doc_id, {_quality_score_sql()} AS quality_score FROM s
+)
+SELECT doc_id, quality_score,
+       least(floor(quality_score * 10), 9)::BIGINT AS q_decile
+FROM q
+"""
+
+QUERIES["q_quality_score"] = q_quality_score
+ORACLES["q_quality_score"] = Q_QUALITY_SCORE_SQL

@@ -30,7 +30,7 @@ from ..config import DEFAULT_PROFILE, RuleProfile
 from ..functions.extraction import with_extracted_text, with_extracted_text_passthrough
 from ..functions.langid import TrigramLangID, with_langid
 from ..functions.perplexity import BigramLM, with_perplexity
-from ..functions.quality import with_quality_stats
+from ..functions.quality import with_quality_score, with_quality_stats
 from ..functions.scrub import scrubbed
 from ..operators.decision import with_decision
 from ..operators.dedup import minhash_dedup_losers
@@ -40,7 +40,8 @@ OUTPUT_COLUMNS = [
     "url", "warc_ts", "extracted_sha256", "lang_pred", "lang_conf",
     "lang_source", "ppl",
     "n_words", "mean_word_len", "symbol_ratio", "stopword_frac",
-    "alpha_word_frac", "repeated_line_frac", "keep", "rules", "scrubbed_text",
+    "alpha_word_frac", "repeated_line_frac", "quality_score",
+    "keep", "rules", "scrubbed_text",
 ]
 
 
@@ -163,6 +164,9 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
     # projection and re-evaluates the stats/rules tree per reference
     # (measured +23% job wall at 1M rows)
     df = with_quality_stats(df, text_col="extracted_text", lang_col="lang_pred")
+    # continuous quality signal for downstream mixing (rides the same
+    # narrow projection; sampling by score bucket happens at read time)
+    df = with_quality_score(df)
     df = df.withColumn("scrubbed_text", scrubbed(F.col("extracted_text")))
 
     if profile.host_lang_backfill:

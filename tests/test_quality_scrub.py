@@ -120,3 +120,25 @@ def test_scrub_prefilter_gate_is_identity_preserving(spark):
         scrubbed(F.col("t")).alias("gated"), raw.alias("ungated")).collect()
     for r in out:
         assert r["gated"] == r["ungated"]
+
+
+def test_quality_score_bounds_and_monotonicity(spark):
+    """Score lies in (0,1); clean prose outranks symbol soup and repeated
+    lines; null stats (empty payload) yield a null score."""
+    from cfht2caom2_spark.functions.quality import (with_quality_score,
+                                                    with_quality_stats)
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and then walks "
+            "to the river where it drinks some water before the evening"),
+        (2, "#### @@@@ $$$$ %%%% ^^^^ &&&& **** ~~~~ |||| ==== #### @@@@"),
+        (3, "same line\nsame line\nsame line\nsame line\nsame line"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, extracted_text string")
+    out = {r["id"]: r["quality_score"]
+           for r in with_quality_score(with_quality_stats(df)).collect()}
+    assert 0.0 < out[1] < 1.0 and 0.0 < out[2] < 1.0
+    assert out[1] > out[2]          # symbol soup penalized
+    assert out[1] > out[3]          # repetition penalized
+    assert out[4] is None           # null payload -> null score
