@@ -6,6 +6,7 @@ North-rule launch shape: ``spark-submit --py-files cfht2caom2_spark.zip
     python -m cfht2caom2_spark batch  --pages <dir> --out <dir> [--no-dedupe]
     python -m cfht2caom2_spark state  --table <dir> --out <dir> --bookmark <f>
     python -m cfht2caom2_spark stream --table <dir> --out <dir>
+    python -m cfht2caom2_spark mix    --decisions <dir> --out <dir> --rates <json>
     python -m cfht2caom2_spark synth  --out <dir> --rows 100000
 
 Reference analogue: the cfht_run / cfht_run_state console scripts
@@ -61,6 +62,15 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--decisions", required=True, help="decisions store root")
     c.add_argument("--out", required=True, help="compacted output root")
 
+    m = sub.add_parser("mix", help="assemble a training mixture from a "
+                                   "decisions store (kept docs, per-language "
+                                   "deterministic sampling)")
+    m.add_argument("--decisions", required=True, help="decisions parquet dir")
+    m.add_argument("--out", required=True)
+    m.add_argument("--rates", required=True,
+                   help='JSON lang -> keep rate, e.g. \'{"en":0.6,"zh":0.2}\'')
+    m.add_argument("--default-rate", type=float, default=0.0)
+
     g = sub.add_parser("synth", help="generate a synthetic pages table")
     g.add_argument("--out", required=True)
     g.add_argument("--rows", type=int, default=100_000)
@@ -109,6 +119,12 @@ def main(argv: list[str] | None = None) -> int:
         q = stream_pages(spark, SnapshotTable(args.table), args.out,
                          trigger_once=not args.continuous)
         q.awaitTermination()
+    elif args.mode == "mix":
+        from .operators.sampling import assemble_mixture
+
+        print(json.dumps(assemble_mixture(
+            spark, args.decisions, args.out,
+            rates=json.loads(args.rates), default_rate=args.default_rate)))
     elif args.mode == "compact":
         from .operators.compact import compact_decisions
 

@@ -57,3 +57,36 @@ def stratified_sample(df: DataFrame, key_col: str, stratum_col: str,
         threshold = F.when(F.col(stratum_col) == value,
                            F.lit(int(round(r * BUCKETS)))).otherwise(threshold)
     return df.filter(bucket < threshold)
+
+
+def assemble_mixture(spark, decisions_path: str, out_path: str,
+                     rates: dict[str, float], default_rate: float = 0.0,
+                     key_col: str = "url",
+                     stratum_col: str = "lang_pred") -> dict:
+    """Corpus assembly: kept docs -> per-language deterministic sample ->
+    training-mixture parquet.  The final step of the filter pipeline
+    (reference analogue: the store step after all visitors pass,
+    cfht_name.py:750-754) — reads the decisions store, so re-assembling a
+    new mixture never recomputes the pipeline.
+
+    Scale shape: keep-filter + hash predicate are map-side on the scan
+    (partition-pruned by p_day where present); the only wide op is the
+    output repartition-by-day write.  Returns {docs, tokens} actually
+    sampled (computed via observe, riding the write)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    decisions = spark.read.parquet(decisions_path)
+    mixed = stratified_sample(
+        decisions.filter(F.col("keep")), key_col, stratum_col,
+        rates, default_rate, bucket_fn=sample_bucket_fast)
+    obs = Observation("mixture")
+    mixed = mixed.observe(
+        obs, F.count(F.lit(1)).alias("docs"),
+        F.sum("n_words").alias("tokens"))
+    writer = mixed.write.mode("overwrite")
+    if "p_day" in decisions.columns:
+        writer = writer.partitionBy("p_day")
+    writer.parquet(out_path)
+    got = obs.get
+    return {"docs": got["docs"], "tokens": got["tokens"]}

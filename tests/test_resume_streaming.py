@@ -292,3 +292,33 @@ def test_state_mode_lifecycle_matches_batch(spark, tmp_path):
                (b["keep"], sorted(b["rules"]), b["scrubbed_text"]), k
         checked += 1
     assert checked >= n * 0.7, checked
+
+
+def test_assemble_mixture_from_decisions(spark, tmp_path):
+    """mix mode: kept docs only, per-language deterministic sample, token
+    accounting matches the written mixture, and re-assembly with a higher
+    rate is a superset (nested samples — reproducible mixture scaling)."""
+    from pyspark.sql import functions as F
+
+    from cfht2caom2_spark.operators.sampling import assemble_mixture
+    from cfht2caom2_spark.plans.pipeline import run_batch
+    from cfht2caom2_spark.sources.pages import synth_pages
+
+    out = str(tmp_path / "store")
+    run_batch(spark, synth_pages(spark, 400), out, previews=False)
+
+    rates_lo = {"en": 0.4, "fr": 0.4, "de": 0.4, "es": 0.4, "zh": 0.4}
+    r_lo = assemble_mixture(spark, f"{out}/decisions",
+                            str(tmp_path / "mix_lo"), rates_lo)
+    r_hi = assemble_mixture(
+        spark, f"{out}/decisions", str(tmp_path / "mix_hi"),
+        {k: 0.9 for k in rates_lo})
+    lo = spark.read.parquet(str(tmp_path / "mix_lo"))
+    hi = spark.read.parquet(str(tmp_path / "mix_hi"))
+    assert r_lo["docs"] == lo.count() and r_hi["docs"] == hi.count()
+    assert 0 < r_lo["docs"] < r_hi["docs"]
+    assert lo.filter(~F.col("keep")).count() == 0
+    lo_urls = {r["url"] for r in lo.select("url").collect()}
+    hi_urls = {r["url"] for r in hi.select("url").collect()}
+    assert lo_urls <= hi_urls
+    assert r_lo["tokens"] == lo.agg(F.sum("n_words")).collect()[0][0]
