@@ -108,3 +108,39 @@ def test_flagship_plan_shape_under_production_conf(spark):
         assert logical.count("Join LeftOuter") == 1
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_decontam_join_strategy_left_to_aqe(spark):
+    """The eval-suite gram table is bounded-but-not-guaranteed-small, and
+    the doc-gram stream is corpus-sized: neither side may carry a mandatory
+    broadcast hint by default (AQE decides from runtime sizes; a
+    pathological suite degrades to a shuffle join instead of an executor
+    OOM).  hint_broadcast=True is the explicit opt-in."""
+    from pyspark.sql import functions as F
+
+    from cfht2caom2_spark.operators.decontam import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+
+    def logical(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    assert "ResolvedHint" not in str(
+        decontaminate(docs, bench)._jdf.queryExecution().logical())
+    hinted = decontaminate(docs, bench, hint_broadcast=True)
+    assert "broadcast" in str(
+        hinted._jdf.queryExecution().logical()).lower()
+
+
+def test_stratified_sample_predicate_pushed_to_scan(spark):
+    """The sampling predicate is a pure function of scanned columns — it
+    must run inside the scan stage with no Exchange in the plan at all
+    (zero-shuffle map-side sampling is the operator's contract)."""
+    from cfht2caom2_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "fr": 0.5}))
+    assert "Exchange" not in plan
+    assert "Filter" in plan
