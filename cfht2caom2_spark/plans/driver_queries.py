@@ -1555,3 +1555,64 @@ FROM q
 
 QUERIES["q_quality_score"] = q_quality_score
 ORACLES["q_quality_score"] = Q_QUALITY_SCORE_SQL
+
+
+# --------------------------------------------------------------------------
+# corpus bigram counts — LM-training statistics (CCNet trains its filter LM
+# on corpus text; this is the count-collection pass that feeds it)
+# --------------------------------------------------------------------------
+
+BIGRAM_TOP_K = 20
+
+
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language bigram occurrence counts, top-20 per language with a
+    deterministic tie-break.  The aggregation is the classic map-side-
+    combined wordcount (one shuffle on (lang, bigram)); the top-k window
+    runs over the already-aggregated counts.  At crawl scale the count
+    table is vocab^2-sized — production prunes with a count threshold
+    (HAVING n >= K) before any window; the top-k here is report-sized."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda t: t != F.lit(""))
+    docs = docs.withColumn("_toks", toks)
+    t = F.col("_toks")
+    n = F.size(t)
+    win = F.greatest(n - 1, F.lit(1))
+    pairs = F.zip_with(F.slice(t, 1, win), F.slice(t, 2, win),
+                       lambda a, b: F.concat_ws(" ", a, b))
+    bigrams = F.when(n >= 2, pairs).otherwise(
+        F.array().cast("array<string>"))
+    counts = (
+        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
+    return (counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= BIGRAM_TOP_K).drop("_rn"))
+
+
+Q_BIGRAM_COUNTS_SQL = f"""
+WITH t AS (
+  SELECT lang,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+b AS (
+  SELECT lang,
+         unnest(CASE WHEN len(toks) >= 2 THEN
+                  list_transform(generate_series(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1])
+                ELSE []::VARCHAR[] END) AS bigram
+  FROM t
+),
+c AS (SELECT lang, bigram, count(*)::BIGINT AS n FROM b GROUP BY 1, 2)
+SELECT lang, bigram, n FROM c
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram)
+        <= {BIGRAM_TOP_K}
+"""
+
+QUERIES["q_bigram_counts"] = q_bigram_counts
+ORACLES["q_bigram_counts"] = Q_BIGRAM_COUNTS_SQL
