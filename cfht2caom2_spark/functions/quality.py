@@ -143,6 +143,11 @@ def heuristic_rules(profile: RuleProfile) -> dict[str, Column]:
 # logistic regression on annotated pages) drops in as a new weight vector,
 # same column formula, no plan change.
 #
+# Reference analogue: records carry a GRADED level next to the binary
+# accept/reject — Plane.calibrationLevel assigned per product during mapping
+# (reference instruments.py:369-372) and propagated through merges
+# (instruments.py:838); here the grade is continuous and drives sampling.
+#
 # Engine-portability constraint (the reason there is no exp/ln here): the
 # DuckDB oracle compares DOUBLES BITWISE, and transcendental functions are
 # not guaranteed identically rounded across libms.  Every op used — +, -, *,
