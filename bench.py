@@ -292,6 +292,10 @@ def run_scaling_exec(n_rows: int = 1_000_000, n_windows: int = 3,
         win = {"window": w, "docs_per_sec_1x": base["docs_per_sec"],
                "docs_per_sec_fan_total": round(thr_fan, 1),
                "fan_child_secs": [r["sec"] for r in fan_res],
+               # wall = slowest child, so ONE stolen child caps the window:
+               # windows stratify by this value (see BASELINE.md 01:48 run)
+               "max_child_steal_pct": max(
+                   r.get("host_steal_pct", 0) for r in fan_res),
                "efficiency": eff}
         windows.append(win)
         print(json.dumps(win))
@@ -304,6 +308,8 @@ def run_scaling_exec(n_rows: int = 1_000_000, n_windows: int = 3,
         "rows": n_rows,
         "efficiency": _median(effs),
         "efficiency_windows": effs,
+        "max_child_steal_pct_per_window": [
+            w["max_child_steal_pct"] for w in windows],
         "docs_per_sec_n": _median([w["docs_per_sec_1x"] for w in windows]),
         "docs_per_sec_4n": _median(
             [w["docs_per_sec_fan_total"] for w in windows]),
