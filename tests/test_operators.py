@@ -450,3 +450,23 @@ def test_stratified_sample_fast_bucket_same_shape(spark):
     hi_ids = {r["doc_id"] for r in hi.collect()}
     assert lo_ids <= hi_ids
     assert 0.22 < len(lo_ids) / 2000 < 0.38
+
+
+def test_decontaminate_threshold_monotone(spark):
+    """Raising min_overlap can only shrink the contaminated set (the
+    operator's precision dial; banding-style guarantee: threshold trades
+    recall, never adds false flags)."""
+    from cfht2caom2_spark.operators.decontam import decontaminate
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = spark.createDataFrame(
+        [(i, base[: 20 + i * 9] + f" tail{i} filler words here") for i in range(8)],
+        "doc_id bigint, text string")
+    bench = spark.createDataFrame([(0, base)], "doc_id bigint, text string")
+    sets = []
+    for t in (1, 3, 6):
+        out = decontaminate(docs, bench, min_overlap=t)
+        sets.append({r["doc_id"] for r in out.collect() if r["contaminated"]})
+    assert sets[2] <= sets[1] <= sets[0]
+    assert sets[0]  # at threshold 1 the overlapping prefixes flag
