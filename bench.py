@@ -27,8 +27,14 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# deliberately excluded from the timing suite (documented quadratic
+# verification baseline, COVERAGE.md "Verification baselines"): its cost
+# measures the oracle cross-check, not an operator anyone would deploy
+BENCH_EXCLUDED = {"q_jaccard_pairs"}
+
 BENCH_QUERIES = [
     "q_text_stats", "q_quality_decision", "q_token_count", "q_fingerprint",
+    "q_lang_report",
     "q_scrub_pii", "q_dedup_exact", "q_dedup_first_wins", "q_minhash_pairs",
     "q_simhash", "q_cosine_topk", "q_ann_lsh", "q_ivf_topk",
     "q_embedding_neardup", "q_source_lang_consensus", "q_cube_report",

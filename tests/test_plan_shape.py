@@ -144,3 +144,18 @@ def test_stratified_sample_predicate_pushed_to_scan(spark):
         docs, "doc_id", "lang", {"en": 0.5, "fr": 0.5}))
     assert "Exchange" not in plan
     assert "Filter" in plan
+
+
+def test_bench_list_covers_every_registered_query():
+    """bench.py's BENCH_QUERIES must track the query registry — a query
+    added to QUERIES but not the bench list silently drops out of the
+    per-round performance record."""
+    import re
+
+    import bench
+    from cfht2caom2_spark.plans.driver_queries import (NO_ORACLE_QUERIES,
+                                                       QUERIES)
+
+    registered = set(QUERIES) | set(NO_ORACLE_QUERIES)
+    covered = set(bench.BENCH_QUERIES) | bench.BENCH_EXCLUDED
+    assert covered == registered, covered ^ registered
