@@ -67,6 +67,7 @@ def run_suite() -> None:
     # plan, not interpreter startup
     _materialize(all_queries["q_text_stats"](spark, SF_DIR))
 
+    busy0, steal0 = _cpu_stat()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
@@ -75,6 +76,8 @@ def run_suite() -> None:
 
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     total = round(sum(timings.values()), 3)
+    busy1, steal1 = _cpu_stat()
+    busy, steal = busy1 - busy0, steal1 - steal0
     flagship = timings.get("q_pipeline_flagship", float("nan"))
     print(json.dumps({
         "metric": "bench_suite_total",
@@ -83,6 +86,10 @@ def run_suite() -> None:
         "queries": timings,
         "sf": SF_DIR,
         "cpus": CPUS,
+        # hypervisor steal during THIS suite run (shared-VM sandbox):
+        # clean windows read <1%; contended windows (steal >4%) inflate
+        # every timing — per-query floors across runs are in BASELINE.md
+        "host_steal_pct": round(100 * steal / max(busy + steal, 1), 2),
         "flagship_docs_per_sec": round(n_docs / flagship, 1) if flagship else None,
         # north_rule two-cluster-size evidence, recorded by the most recent
         # `bench.py --scaling` run (NOT re-measured on this invocation —
