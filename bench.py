@@ -42,9 +42,11 @@ BENCH_QUERIES = [
     "q_revenue_by_nation", "q_window_backfill", "q_anti_join_resume",
     "q_semi_join", "q_incremental_window", "q_topk_users",
     "q_merge_last_wins", "q_langid_heuristic", "q_rule_report",
-    "q_dedup_clusters", "q_preview_stats", "q_repetition_stats",
+    "q_dedup_clusters", "q_dedup_clusters_fast", "q_preview_stats",
+    "q_repetition_stats",
     "q_pipeline_heuristic", "q_pipeline_flagship_det", "q_boilerplate_lines",
-    "q_decontaminate", "q_stratified_sample", "q_mixture_report",
+    "q_decontaminate", "q_decontaminate_fast",
+    "q_stratified_sample", "q_mixture_report",
     "q_quality_score", "q_bigram_counts",
     "q_pipeline_flagship",
 ]
@@ -79,7 +81,7 @@ def run_suite() -> None:
     busy1, steal1 = _cpu_stat()
     busy, steal = busy1 - busy0, steal1 - steal0
     flagship = timings.get("q_pipeline_flagship", float("nan"))
-    print(json.dumps({
+    result = {
         "metric": "bench_suite_total",
         "value": total,
         "unit": "sec",
@@ -98,12 +100,21 @@ def run_suite() -> None:
         # multi-executor emulation pair (1 vs 4 concurrent 8-core JVMs),
         # recorded by the most recent `bench.py --scaling-exec` run
         "last_measured_exec_scaling": _read_json(_EXEC_EVIDENCE),
-    }))
+    }
+    # the FILE is the authoritative artifact (round 3's stdout tail was
+    # truncated by console noise and the whole per-query record was lost);
+    # stdout stays the driver contract: ONE JSON line, printed last
+    with open(_LAST_BENCH, "w") as fh:
+        json.dump(result, fh)
     spark.stop()
+    sys.stdout.flush()
+    print(json.dumps(result))
 
 
 _EVIDENCE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".scaling_evidence.json")
+_LAST_BENCH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".bench_last.json")
 
 
 def _read_scaling_evidence() -> dict | None:
@@ -249,7 +260,9 @@ _EXEC_EVIDENCE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def run_scaling_exec(n_rows: int = 1_000_000, n_windows: int = 3,
-                     cores: int = 8, fan: int = 4) -> None:
+                     cores: int = 8, fan: int = 4,
+                     steal_gate_pct: float = 1.0,
+                     max_attempts: int = 12) -> None:
     """Multi-EXECUTOR N->4N evidence: 1 vs `fan` concurrent 8-core JVMs.
 
     The north rule's cluster shape is N vs 4N *executors* — separate JVMs,
@@ -268,8 +281,17 @@ def run_scaling_exec(n_rows: int = 1_000_000, n_windows: int = 3,
     docs/sec).  Hash-splitting by url mirrors how a cluster scheduler
     spreads partitions; cross-split near-dup candidate pairs are the only
     work difference (the band join is a small share of runtime; disclosed).
-    Median across windows is the headline.  Sole writer of
-    .scaling_exec_evidence.json."""
+
+    STEAL-AWARE HEADLINE (pre-declared, round-3 advice): this sandbox is a
+    shared VM whose hypervisor steal stratifies windows — one stolen child
+    caps a whole fan-out wall-clock, so contended windows measure the
+    neighbor, not the engine.  A window is CLEAN iff EVERY JVM in it (the
+    1x baseline and all `fan` children) saw < ``steal_gate_pct`` host
+    steal during its timed run.  Windows are launched until ``n_windows``
+    clean ones are banked (or ``max_attempts`` total), and the headline is
+    the MEDIAN over the clean windows only; every attempted window rides
+    in the evidence file with its steal so the discard rule is auditable.
+    Sole writer of .scaling_exec_evidence.json."""
     import tempfile
 
     from cfht2caom2_spark.session import get_spark
@@ -291,8 +313,9 @@ def run_scaling_exec(n_rows: int = 1_000_000, n_windows: int = 3,
         splits.append(p)
     spark.stop()
 
-    windows = []
-    for w in range(n_windows):
+    windows: list[dict] = []
+    n_clean = 0
+    for w in range(max_attempts):
         base = _run_child(cores, full)
         print(json.dumps({"window": w, "role": "single", **base}))
         fan_res = _run_children_concurrent(cores, splits)
@@ -302,30 +325,55 @@ def run_scaling_exec(n_rows: int = 1_000_000, n_windows: int = 3,
         wall = max(r["sec"] for r in fan_res)
         thr_fan = total / wall
         eff = round(thr_fan / (fan * base["docs_per_sec"]), 3)
+        # a window is clean only when EVERY JVM ran steal-free: one stolen
+        # fan child caps the wall; a stolen BASELINE inflates efficiency
+        # (slow denominator) — both directions are excluded
+        worst_steal = max([base.get("host_steal_pct", 0.0)]
+                          + [r.get("host_steal_pct", 0.0) for r in fan_res])
+        clean = worst_steal < steal_gate_pct
         win = {"window": w, "docs_per_sec_1x": base["docs_per_sec"],
                "docs_per_sec_fan_total": round(thr_fan, 1),
                "fan_child_secs": [r["sec"] for r in fan_res],
+               "baseline_steal_pct": base.get("host_steal_pct", 0.0),
                # wall = slowest child, so ONE stolen child caps the window:
                # windows stratify by this value (see BASELINE.md 01:48 run)
                "max_child_steal_pct": max(
                    r.get("host_steal_pct", 0) for r in fan_res),
+               "worst_steal_pct": worst_steal,
+               "clean": clean,
                "efficiency": eff}
         windows.append(win)
         print(json.dumps(win))
+        n_clean += clean
+        if n_clean >= n_windows:
+            break
 
-    effs = [w["efficiency"] for w in windows]
+    clean_windows = [w for w in windows if w["clean"]]
+    # headline set: the clean windows; if the host never went quiet within
+    # max_attempts, fall back to ALL windows and say so — never silently
+    # promote a contended subset
+    headline = clean_windows if len(clean_windows) >= 1 else windows
+    effs = [w["efficiency"] for w in headline]
     now = time.strftime("%Y-%m-%d %H:%M:%S")
     evidence = {
         "shape": f"1 vs {fan} concurrent local[{cores}] JVMs "
                  "(multi-executor emulation, disjoint hash-split input)",
         "rows": n_rows,
         "efficiency": _median(effs),
-        "efficiency_windows": effs,
-        "max_child_steal_pct_per_window": [
-            w["max_child_steal_pct"] for w in windows],
-        "docs_per_sec_n": _median([w["docs_per_sec_1x"] for w in windows]),
+        "protocol": f"median over first {n_windows} CLEAN windows (every "
+                    f"JVM < {steal_gate_pct}% steal), launched until banked "
+                    f"or {max_attempts} attempts; pre-declared, "
+                    "round-3 advice",
+        "n_clean_windows": len(clean_windows),
+        "n_attempted_windows": len(windows),
+        "clean_quorum_met": len(clean_windows) >= n_windows,
+        "efficiency_windows_clean": [w["efficiency"] for w in clean_windows],
+        "efficiency_windows_all": [w["efficiency"] for w in windows],
+        "worst_steal_pct_per_window": [
+            w["worst_steal_pct"] for w in windows],
+        "docs_per_sec_n": _median([w["docs_per_sec_1x"] for w in headline]),
         "docs_per_sec_4n": _median(
-            [w["docs_per_sec_fan_total"] for w in windows]),
+            [w["docs_per_sec_fan_total"] for w in headline]),
         "gate": ">=0.8",
         "measured_at": now,
         "source": "bench.py --scaling-exec (sole writer of this file); "
@@ -337,7 +385,7 @@ def run_scaling_exec(n_rows: int = 1_000_000, n_windows: int = 3,
 
     lines = [
         f"\n## Measured multi-executor scaling ({now}) — 1 vs {fan} "
-        f"concurrent local[{cores}] JVMs\n",
+        f"concurrent local[{cores}] JVMs, steal-aware protocol\n",
         f"Strong scaling at {n_rows} rows: baseline one {cores}-core JVM on "
         "the full input;",
         f"fan-out {fan} independent {cores}-core JVMs concurrently, each on "
@@ -345,15 +393,27 @@ def run_scaling_exec(n_rows: int = 1_000_000, n_windows: int = 3,
         "hash-split (separate heaps/GC/python pools — the actual N vs 4N "
         "executor topology",
         "of the north rule, which one shared-heap local[4N] JVM does not "
-        "emulate).\n",
-        "| window | docs/sec 1 JVM | docs/sec 4 JVMs total | efficiency |",
-        "|---|---|---|---|",
+        "emulate).",
+        f"Pre-declared headline: median over the first {n_windows} CLEAN "
+        f"windows — every JVM",
+        f"(baseline + all {fan} children) < {steal_gate_pct}% host steal — "
+        "windows launched until",
+        f"banked or {max_attempts} attempts.  Contended windows are listed, "
+        "not promoted.\n",
+        "| window | docs/sec 1 JVM | docs/sec 4 JVMs total | worst steal % "
+        "| clean | efficiency |",
+        "|---|---|---|---|---|---|",
     ]
     for w in windows:
         lines.append(f"| {w['window']} | {w['docs_per_sec_1x']} "
-                     f"| {w['docs_per_sec_fan_total']} | {w['efficiency']} |")
-    lines.append(f"\nMedian efficiency: **{_median(effs)}** "
-                 "(gate >= 0.8, north_rule).\n")
+                     f"| {w['docs_per_sec_fan_total']} "
+                     f"| {w['worst_steal_pct']} | {w['clean']} "
+                     f"| {w['efficiency']} |")
+    lines.append(
+        f"\nHeadline (median of {len(headline)} "
+        f"{'clean' if clean_windows else 'ALL (no clean quorum)'} windows): "
+        f"**{_median(effs)}** (gate >= 0.8, north_rule; clean quorum "
+        f"{'met' if len(clean_windows) >= n_windows else 'NOT met'}).\n")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BASELINE.md"), "a") as fh:
         fh.write("\n".join(lines))

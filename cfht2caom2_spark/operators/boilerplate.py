@@ -47,9 +47,15 @@ def remove_boilerplate_lines(df: DataFrame, text_col: str = "text",
         .select("nline")
     )
     surviving = lines.join(boiler, norm == F.col("nline"), "left_anti")
+    # array_distinct: when the caller's id is a content-derived key, several
+    # identical input rows may share it — their (pos, line) pairs coincide
+    # exactly, so distinct reassembles ONE clean copy instead of
+    # interleaving n copies of every line.  A no-op for unique ids (pos
+    # values are already distinct within one doc).
     return (
         surviving.groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("_o"))
+        .agg(F.array_distinct(
+            F.array_sort(F.collect_list(F.struct("pos", "line")))).alias("_o"))
         .select(
             id_col,
             F.array_join(F.transform(F.col("_o"), lambda s: s["line"]), "\n")

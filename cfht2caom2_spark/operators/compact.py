@@ -35,7 +35,12 @@ def demote_cross_increment_duplicates(decisions: DataFrame,
     failed-extraction rows (a large class at crawl scale whose hash is NULL,
     which would all land in the single NULL window partition) never shuffle —
     they ride the union branch untouched."""
-    contested = F.col("keep") & F.col("extracted_sha256").isNotNull()
+    # null-safe: decisions parquet from foreign writers can carry NULL keep;
+    # `keep & ...` would evaluate NULL there and BOTH filter branches below
+    # would drop the row (filter excludes non-true).  Coalesce to false so
+    # such rows ride the pass-through branch untouched.
+    contested = F.coalesce(
+        F.col("keep") & F.col("extracted_sha256").isNotNull(), F.lit(False))
     w = Window.partitionBy("extracted_sha256").orderBy(
         F.col(order_col), F.col(id_col))
     demote = F.col("_demote")

@@ -53,15 +53,47 @@ def benchmark_grams(bench: DataFrame, text_col: str = "text", k: int = 3,
     )
 
 
+def bench_gram_bitmap(bench_g: DataFrame, bits: int) -> DataFrame:
+    """Exact membership bitmap of ``gram mod bits`` over the bench gram
+    table, packed as (word_idx, word) longs — at most ``bits/64`` rows
+    (512 KiB at the default 2^22 bits) no matter how large the eval suite
+    grows, so broadcasting it is correct by construction, not by runtime
+    luck.  One-hash scheme => ZERO false negatives (a true overlap can
+    never be filtered out); false positives (~n_bench_grams/bits) are
+    removed by the exact join downstream."""
+    bkt = F.pmod(F.col("bench_gram"), F.lit(bits))
+    return (
+        bench_g.select(bkt.alias("_bkt"))
+        .select(
+            F.floor(F.col("_bkt") / 64).alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(_bkt % 64 AS INT))").alias("_bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_bit").alias("word"))
+    )
+
+
 def decontaminate(docs: DataFrame, bench: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   k: int = 3, min_overlap: int = 5,
-                  hash_fn=None, hint_broadcast: bool = False) -> DataFrame:
+                  hash_fn=None, hint_broadcast: bool = False,
+                  prefilter_bits: int = 1 << 22) -> DataFrame:
     """Per-doc contamination flags: (id, n_grams, n_overlap, contaminated).
 
     ``n_overlap`` counts the doc's distinct grams that appear anywhere in the
     benchmark suite; ``contaminated`` = n_overlap >= min_overlap.  Every
-    input doc appears exactly once in the output (left join semantics).
+    input doc appears exactly once in the output (left join semantics)
+    PROVIDED ids are unique; duplicate ids yield one output row per input
+    row (callers joining back must aggregate or distinct — see
+    plans/pipeline.py decontam join-back discipline).
+
+    ``prefilter_bits`` (0 disables): the corpus-side gram stream is pruned
+    map-side against the fixed-size bench bitmap BEFORE the overlap join's
+    exchange — at 10^12 docs this drops ~all of the exploded (id, gram)
+    stream (only gram values colliding with a bench bucket survive) while
+    the bench table itself may be too big to broadcast.  Results are
+    bit-identical with the filter on or off (exact join downstream; the
+    bitmap has no false negatives).
     """
     grams = docs.select(
         F.col(id_col),
@@ -71,8 +103,22 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
     if hint_broadcast:
         bench_g = F.broadcast(bench_g)
 
+    doc_grams = grams.select(id_col, F.explode("_grams").alias("_g"))
+    if prefilter_bits:
+        bitmap = bench_gram_bitmap(bench_g, prefilter_bits)
+        doc_grams = (
+            doc_grams
+            .withColumn("_bkt", F.pmod(F.col("_g"), F.lit(prefilter_bits)))
+            .withColumn("word_idx", F.floor(F.col("_bkt") / 64))
+            # inner join: a word_idx absent from the bitmap means no bench
+            # gram hashes anywhere in those 64 buckets — drop is correct
+            .join(F.broadcast(bitmap), "word_idx", "inner")
+            .filter(F.expr(
+                "(word & shiftleft(1L, CAST(_bkt % 64 AS INT))) != 0"))
+            .drop("_bkt", "word_idx", "word")
+        )
     overlap = (
-        grams.select(id_col, F.explode("_grams").alias("_g"))
+        doc_grams
         .join(bench_g, F.col("_g") == F.col("bench_gram"), "inner")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("_n_overlap"))

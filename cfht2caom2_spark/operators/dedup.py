@@ -329,7 +329,9 @@ def connected_components(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
     # per-round probe scans; post-shuffle task counts remain AQE-decided
     # (coalescePartitions only shrinks to default parallelism).
     n_edges = edges.count()
-    cur = edges.rdd.getNumPartitions()
+    # defaultParallelism as the ceiling, not edges.rdd.getNumPartitions():
+    # the .rdd handle would force a DF->RDD conversion just to read a number
+    cur = edges.sparkSession.sparkContext.defaultParallelism
     target = max(1, min(cur, n_edges // 50_000 + 1))
     if target < cur:
         edges = edges.repartition(target).localCheckpoint()

@@ -1229,7 +1229,9 @@ def q_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     # where array cells are unhashable — serialize the rules array for the
     # harness (same pattern as q_quality_decision); build_pipeline's
     # production output keeps the array type.
-    return out.withColumn("rules_str", F.array_join("rules", ",")).drop("rules")
+    return (out.withColumn("rules_str", F.array_join("rules", ","))
+            .withColumn("scrub_rules_str", F.array_join("scrub_rules", ","))
+            .drop("rules", "scrub_rules"))
 
 
 class _ConstLangID:
@@ -1315,6 +1317,7 @@ def q_pipeline_flagship_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stopword_frac", "alpha_word_frac", "repeated_line_frac",
         "quality_score",
         F.array_join("rules", ",").alias("rules_str"), "keep",
+        F.array_join("scrub_rules", ",").alias("scrub_rules_str"),
         "scrubbed_text",
     )
 
@@ -1333,6 +1336,19 @@ _DET_RULE_CASES = ", ".join(
         ("toxicity", "toxicity_hits > 0"),
     )
 )
+
+
+def _scrub_rules_sql(col: str) -> str:
+    """DuckDB twin of functions.scrub.scrub_rules_fired: sorted ids of the
+    PII patterns matching the text ('' for no match / NULL text)."""
+    from ..config import PII_PATTERNS
+    cases = ", ".join(
+        f"CASE WHEN regexp_matches({col}, '{pat.replace(chr(39), chr(39) * 2)}')"
+        f" THEN '{rule}' END"
+        for rule, pat, _repl in PII_PATTERNS
+    )
+    return (f"coalesce(array_to_string(list_sort(list_filter([{cases}],"
+            f" x -> x IS NOT NULL)), ','), '')")
 
 
 def _pipeline_flagship_det_sql() -> str:
@@ -1365,6 +1381,7 @@ SELECT url,
   {_quality_score_sql()} AS quality_score,
   coalesce(array_to_string(rules, ','), '') AS rules_str,
   coalesce(len(rules), 0) = 0 AS keep,
+  {_scrub_rules_sql('text')} AS scrub_rules_str,
   CASE WHEN coalesce(len(rules), 0) = 0
        THEN {_scrub_sql_chain('text')} END AS scrubbed_text
 FROM r
@@ -1495,8 +1512,42 @@ GROUP BY lang
 """
 
 
+def q_decontaminate_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash twin of q_decontaminate (crc32 ``shingle_hash_fast``
+    instead of the md5-parity hash DuckDB needs): the bench record should
+    track the hash that SHIPS, not the oracle's.  No SQL oracle (DuckDB has
+    no crc32) — correctness is pinned by pytest equality of the
+    (doc_id, contaminated) outcome against the oracle-hash path and by the
+    zlib.crc32 golden in tests (hash-agnostic semantics)."""
+    from ..operators.decontam import decontaminate
+    from ..operators.dedup import shingle_hash_fast
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+    return decontaminate(docs, bench, id_col="doc_id", text_col="text",
+                         k=DECONTAM_K, min_overlap=DECONTAM_MIN_OVERLAP,
+                         hash_fn=shingle_hash_fast)
+
+
+def q_dedup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash twin of q_dedup_clusters (crc32 shingle hash +
+    star-contraction CC).  Cluster membership is hash-agnostic up to
+    collisions, so pytest checks its components against the oracle-hash
+    path; the bench trend line quotes THIS query's cost."""
+    from ..operators.dedup import connected_components, shingle_hash_fast
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text",
+                                bands=MH_BANDS, rows_per_band=MH_ROWS, k=3,
+                                hash_fn=shingle_hash_fast)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component"))
+
+
 QUERIES["q_decontaminate"] = q_decontaminate
 ORACLES["q_decontaminate"] = Q_DECONTAMINATE_SQL
+NO_ORACLE_QUERIES["q_decontaminate_fast"] = q_decontaminate_fast
+NO_ORACLE_QUERIES["q_dedup_clusters_fast"] = q_dedup_clusters_fast
 QUERIES["q_stratified_sample"] = q_stratified_sample
 ORACLES["q_stratified_sample"] = Q_STRATIFIED_SAMPLE_SQL
 QUERIES["q_mixture_report"] = q_mixture_report

@@ -23,7 +23,7 @@ data movement.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import DEFAULT_PROFILE, RuleProfile
@@ -31,7 +31,7 @@ from ..functions.extraction import with_extracted_text, with_extracted_text_pass
 from ..functions.langid import TrigramLangID, with_langid
 from ..functions.perplexity import BigramLM, with_perplexity
 from ..functions.quality import with_quality_score, with_quality_stats
-from ..functions.scrub import scrubbed
+from ..functions.scrub import scrub_rules_fired, scrubbed
 from ..operators.decision import with_decision
 from ..operators.dedup import minhash_dedup_losers
 from ..operators.resume import lineage_rows, pending_work, read_lineage, write_lineage
@@ -41,8 +41,21 @@ OUTPUT_COLUMNS = [
     "lang_source", "ppl",
     "n_words", "mean_word_len", "symbol_ratio", "stopword_frac",
     "alpha_word_frac", "repeated_line_frac", "quality_score",
-    "keep", "rules", "scrubbed_text",
+    "keep", "rules", "scrub_rules", "scrubbed_text",
 ]
+
+
+def _row_key(id_col: str, order_col: str) -> Column:
+    """Join-back key for per-row derived frames (boilerplate reassembly,
+    decontam flags).  Folds the content hash in: (url, warc_ts) alone is NOT
+    unique — re-crawls can legally share both — and a bare 64-bit hash of it
+    collides with statistical certainty at 10^12 docs, cross-assigning one
+    doc's derived value to another.  With the sha folded in, rows sharing
+    the key carry identical text, so any derived value is interchangeable
+    between them; a residual 2^-64 triple collision is the only corruption
+    mode left (documented, accepted)."""
+    return F.xxhash64(F.col(id_col), F.col(order_col),
+                      F.col("extracted_sha256"))
 
 
 def build_pipeline(pages: DataFrame, spark: SparkSession,
@@ -135,7 +148,11 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
         # (config.RuleProfile.boilerplate_removal docstring).
         from ..operators.boilerplate import remove_boilerplate_lines
 
-        row_key = F.xxhash64(F.col(id_col), F.col(order_col))
+        # content hash folded into the key (_row_key): duplicate
+        # (url, warc_ts) rows share the key ONLY when their text is
+        # identical, so the merged reassembly (line-deduped in
+        # remove_boilerplate_lines) is byte-correct for every carrier row
+        row_key = _row_key(id_col, order_col)
         cleaned = remove_boilerplate_lines(
             base.select(row_key.alias("_bp_id"), "extracted_text")
             .filter(F.col("extracted_text").isNotNull()),
@@ -167,7 +184,14 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
     # continuous quality signal for downstream mixing (rides the same
     # narrow projection; sampling by score bucket happens at read time)
     df = with_quality_score(df)
-    df = df.withColumn("scrubbed_text", scrubbed(F.col("extracted_text")))
+    # scrub_rules attributes every mutation the scrub chain made to the
+    # stored artifact (the reference records repairs rather than applying
+    # them silently, instruments.py:222-266); it rides the same narrow
+    # projection and is emitted for ALL rows — auditors of dropped docs see
+    # what WOULD have been scrubbed
+    df = df.withColumn("scrubbed_text", scrubbed(F.col("extracted_text"))) \
+           .withColumn("scrub_rules",
+                       scrub_rules_fired(F.col("extracted_text")))
 
     if profile.host_lang_backfill:
         from ..operators.hostnorm import with_host_lang_backfill
@@ -200,14 +224,24 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
         # the rejected-cache lookup before processing, cfht_name.py:560-575).
         # Grams are computed on the text the corpus would TRAIN on (post-
         # boilerplate extraction); the eval-suite gram table is bounded, so
-        # the inner join filters the doc-gram stream map-side (AQE broadcast)
-        # before the only shuffle, the per-row overlap count.  Joined back by
-        # a unique row key (urls re-arrive; url alone would cross-count).
+        # the fixed-size bench bitmap + inner join filter the doc-gram
+        # stream map-side before the only shuffle, the per-row overlap
+        # count.  Join-back discipline (every input row appears EXACTLY
+        # once in the output):
+        #   * the key is _row_key (content hash folded in — url+ts alone is
+        #     not unique);
+        #   * only CONTAMINATED ids come back (the HAVING >= min_overlap
+        #     prune — the flag table shrinks from corpus-sized to the tiny
+        #     contaminated set, usually broadcastable);
+        #   * .distinct() on that slim set makes the join key provably
+        #     unique, so the left join can never multiply rows — duplicate
+        #     keys (identical re-crawls) and 2^-64 collisions at worst add
+        #     a conservative shared flag.
         from ..operators.decontam import decontaminate
         from ..operators.dedup import shingle_hash_fast
 
-        row_key = F.xxhash64(F.col(id_col), F.col(order_col))
-        flags = decontaminate(
+        row_key = _row_key(id_col, order_col)
+        contaminated_ids = decontaminate(
             df.select(row_key.alias("_dc_id"), "extracted_text")
             .filter(F.col("extracted_text").isNotNull()),
             benchmark.select(
@@ -216,13 +250,14 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
             k=profile.decontam_k,
             min_overlap=profile.decontam_min_overlap,
             hash_fn=shingle_hash_fast,
-        ).select("_dc_id", "contaminated")
+        ).filter(F.col("contaminated")).select("_dc_id").distinct()
         df = (
             df.withColumn("_dc_id", row_key)
-            .join(flags, on="_dc_id", how="left")
+            .join(contaminated_ids.withColumn("_contam", F.lit(True)),
+                  on="_dc_id", how="left")
             .withColumn("_contam",
-                        F.coalesce(F.col("contaminated"), F.lit(False)))
-            .drop("_dc_id", "contaminated")
+                        F.coalesce(F.col("_contam"), F.lit(False)))
+            .drop("_dc_id")
         )
         contam_col = "_contam"
 

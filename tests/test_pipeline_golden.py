@@ -260,3 +260,111 @@ def test_benchmark_decontamination_in_pipeline(spark):
         if "contaminated" not in r["rules"]:
             assert list(r["rules"]) == list(base_rows[url]["rules"])
             assert r["keep"] == base_rows[url]["keep"]
+
+
+# --------------------------------------------------------------------------
+# join-back key integrity (round-4 advice): derived-frame joins must never
+# multiply rows or cross-assign values when (url, warc_ts) is not unique
+# --------------------------------------------------------------------------
+
+def _mk_pages(spark, rows):
+    import datetime as dt
+    t0 = dt.datetime(2025, 6, 1)
+    data = [(u, t0 + dt.timedelta(seconds=off), None, txt, "en")
+            for u, off, txt in rows]
+    return spark.createDataFrame(
+        data, "url string, warc_ts timestamp, html binary, text string, "
+              "lang string")
+
+
+_CLEAN_A = ("the quick brown fox jumps over the lazy dog and then walks "
+            "back home across the wide green field while the evening sun "
+            "sets slowly behind the old stone bridge near the quiet river "
+            "bank where children often play during long summer afternoons "
+            "and birds sing in the tall shade trees")
+_CLEAN_B = ("a completely different story unfolds in the busy city where "
+            "trains arrive every morning full of people reading papers "
+            "and drinking coffee before work starts at the tall office "
+            "towers along the main avenue with its bright shop windows "
+            "and crowded sidewalks full of noise and motion every day")
+
+
+def test_decontam_duplicate_row_key_no_multiplication(spark):
+    """THE round-4 advice repro: an input with a duplicated (url, warc_ts)
+    row must come out of build_pipeline with exactly one output row per
+    input row, and a non-overlapping doc must NOT inherit another doc's
+    contaminated flag through join-back key collision."""
+    pages = _mk_pages(spark, [
+        ("https://dup.com/a", 0, _CLEAN_A),
+        ("https://dup.com/a", 0, _CLEAN_A),      # exact re-arrival, same ts
+        ("https://clean.com/b", 5, _CLEAN_B),    # no benchmark overlap
+    ])
+    bench = spark.createDataFrame([(_CLEAN_A,)], "text string")
+    out = build_pipeline(pages, spark, dedupe=False, has_html=False,
+                         benchmark=bench).collect()
+    assert len(out) == 3, [r["url"] for r in out]
+    by_url = {}
+    for r in out:
+        by_url.setdefault(r["url"], []).append(r)
+    assert len(by_url["https://dup.com/a"]) == 2
+    for r in by_url["https://dup.com/a"]:
+        assert "contaminated" in r["rules"]
+    (b,) = by_url["https://clean.com/b"]
+    assert "contaminated" not in b["rules"]
+
+
+def test_decontam_same_url_ts_different_text_not_cross_flagged(spark):
+    """Two DIFFERENT documents legally sharing (url, warc_ts): the content
+    hash folded into the join-back key keeps their flags separate — the
+    non-overlapping text must not be flagged because its sibling is."""
+    pages = _mk_pages(spark, [
+        ("https://dup.com/a", 0, _CLEAN_A),
+        ("https://dup.com/a", 0, _CLEAN_B),      # same key cols, other text
+    ])
+    bench = spark.createDataFrame([(_CLEAN_A,)], "text string")
+    out = build_pipeline(pages, spark, dedupe=False, has_html=False,
+                         benchmark=bench).collect()
+    assert len(out) == 2
+    flags = {r["extracted_sha256"]: "contaminated" in r["rules"] for r in out}
+    assert len(flags) == 2
+    assert sorted(flags.values()) == [False, True]
+
+
+def test_boilerplate_duplicate_rows_reassemble_one_copy(spark):
+    """Duplicated (url, warc_ts, text) rows share a reassembly id by
+    construction; the line-deduped reassembly must hand BOTH carrier rows
+    the single-copy cleaned text, not an interleaved double."""
+    from cfht2caom2_spark.config import RuleProfile
+
+    footer = "COMMON FOOTER LINE SHARED BY ALL"
+    docs = [(f"https://site{i}.com/", i * 10,
+             _CLEAN_A + f" unique tail {i}\n" + footer) for i in range(6)]
+    docs.append(("https://site0.com/", 0, _CLEAN_A + " unique tail 0\n" + footer))
+    pages = _mk_pages(spark, docs)
+    on = RuleProfile(boilerplate_removal=True, min_words=10)
+    out = build_pipeline(pages, spark, profile=on, dedupe=False,
+                         has_html=False).collect()
+    assert len(out) == 7
+    dup_rows = [r for r in out if r["url"] == "https://site0.com/"]
+    assert len(dup_rows) == 2
+    solo = next(r for r in out if r["url"] == "https://site1.com/")
+    expected = solo["scrubbed_text"].replace("unique tail 1", "unique tail 0")
+    for r in dup_rows:
+        assert footer not in (r["scrubbed_text"] or "")
+        assert r["scrubbed_text"] == expected
+
+
+def test_scrub_rules_attributed_in_decisions(spark):
+    """Round-4 verdict #3: scrub mutations reach the decisions store — each
+    fired PII pattern id appears in scrub_rules (reference analogue: value
+    repairs are recorded, instruments.py:222-266)."""
+    pages = _mk_pages(spark, [
+        ("https://pii.com/a", 0,
+         _CLEAN_A + " reach me at alice@example.com or 555-123-4567"),
+        ("https://nopii.com/b", 1, _CLEAN_B),
+    ])
+    out = {r["url"]: r for r in
+           build_pipeline(pages, spark, dedupe=False, has_html=False).collect()}
+    assert "scrub_rules" in next(iter(out.values())).asDict()
+    assert out["https://pii.com/a"]["scrub_rules"] == ["pii_email", "pii_phone"]
+    assert out["https://nopii.com/b"]["scrub_rules"] == []

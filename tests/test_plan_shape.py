@@ -126,11 +126,49 @@ def test_decontam_join_strategy_left_to_aqe(spark):
     def logical(df):
         return df._jdf.queryExecution().optimizedPlan().toString()
 
-    assert "ResolvedHint" not in str(
+    # the ONLY permitted mandatory broadcast is the bench-gram bitmap
+    # (fixed <= bits/64 rows by construction, operators/decontam.py): one
+    # ResolvedHint, none on the bench table or doc-gram stream themselves
+    default_logical = str(
         decontaminate(docs, bench)._jdf.queryExecution().logical())
-    hinted = decontaminate(docs, bench, hint_broadcast=True)
+    assert default_logical.count("ResolvedHint") == 1
+    assert "bit_or" in default_logical  # the hinted subtree IS the bitmap
+    no_prefilter = str(decontaminate(
+        docs, bench, prefilter_bits=0)._jdf.queryExecution().logical())
+    assert "ResolvedHint" not in no_prefilter
+    hinted = decontaminate(docs, bench, hint_broadcast=True,
+                           prefilter_bits=0)
     assert "broadcast" in str(
         hinted._jdf.queryExecution().logical()).lower()
+
+
+def test_decontam_bitmap_prefilter_prunes_before_overlap_shuffle(spark):
+    """Round-4 verdict #6: the fixed-size bench bitmap prunes the exploded
+    doc-gram stream map-side BEFORE the overlap count's exchange, and the
+    prune is invisible in the results (exact join downstream removes the
+    bitmap's false positives; the one-hash bitmap has no false negatives)."""
+    from pyspark.sql import functions as F
+
+    from cfht2caom2_spark.operators.decontam import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+
+    on = decontaminate(docs, bench)
+    plan = plan_of(on)
+    assert "shiftleft" in plan          # the bitmap membership test
+    assert "BroadcastHashJoin" in plan  # bitmap join never shuffles
+    # logical plans print parent-first: the membership filter sitting AFTER
+    # the overlap aggregate in the text means it is INSIDE the aggregate's
+    # input subtree, i.e. evaluated before that aggregate's exchange
+    logical = str(on._jdf.queryExecution().optimizedPlan())
+    assert logical.index("shiftleft") > logical.index("count(1)")
+
+    off = decontaminate(docs, bench, prefilter_bits=0)
+    assert "shiftleft" not in plan_of(off)
+    a = sorted(map(tuple, on.collect()))
+    b = sorted(map(tuple, off.collect()))
+    assert a == b
 
 
 def test_stratified_sample_predicate_pushed_to_scan(spark):

@@ -322,3 +322,29 @@ def test_assemble_mixture_from_decisions(spark, tmp_path):
     hi_urls = {r["url"] for r in hi.select("url").collect()}
     assert lo_urls <= hi_urls
     assert r_lo["tokens"] == lo.agg(F.sum("n_words")).collect()[0][0]
+
+
+def test_compaction_null_keep_passes_through(spark):
+    """Round-4 advice: decisions parquet from foreign writers can carry NULL
+    keep; the contested predicate must be null-safe so such rows ride the
+    pass-through branch instead of vanishing from the compacted store."""
+    import datetime as dt
+
+    from cfht2caom2_spark.operators.compact import (
+        demote_cross_increment_duplicates)
+
+    t0 = dt.datetime(2025, 6, 1)
+    rows = [
+        ("https://a.com/1", t0, "sha_X", None, ["?"], None),    # NULL keep
+        ("https://b.com/1", t0, "sha_Y", True, [], "text"),
+        ("https://c.com/1", t0, None, None, None, None),        # all NULL
+    ]
+    dec = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, extracted_sha256 string, "
+              "keep boolean, rules array<string>, scrubbed_text string")
+    out = {r["url"]: r for r in
+           demote_cross_increment_duplicates(dec).collect()}
+    assert len(out) == 3
+    assert out["https://a.com/1"]["keep"] is None      # untouched
+    assert out["https://c.com/1"]["keep"] is None
+    assert out["https://b.com/1"]["keep"] is True
