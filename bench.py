@@ -218,9 +218,22 @@ def _kernel_work(args) -> float:
     return time.perf_counter() - t0
 
 
-def _run_child(cores: int, pages_path: str) -> dict:
+def _pin(cpuset: str | None) -> list[str]:
+    """taskset prefix pinning a child to a CPU range.  WITHOUT pinning, a
+    local[N] JVM is not an N-core executor: HotSpot sizes GC/JIT helper
+    pools to the HOST's cpu count and soaks idle cores (measured: a solo
+    "2-core" child ran 2.2x faster than the same child with 4 siblings on
+    a 24-core-idle box) — which inflates the 1x baseline and understates
+    fan-out efficiency.  Real cluster executors are cgroup-capped; taskset
+    is that cap here.  Affinity is inherited by the JVM and every Python
+    worker, and Java 17 sizes availableProcessors from it."""
+    return ["taskset", "-c", cpuset] if cpuset else []
+
+
+def _run_child(cores: int, pages_path: str, cpuset: str | None = None) -> dict:
     out = subprocess.run(
-        [sys.executable, __file__, "--scaling-child", str(cores), pages_path],
+        _pin(cpuset) + [sys.executable, __file__, "--scaling-child",
+                        str(cores), pages_path],
         capture_output=True, text=True, timeout=3600,
     )
     json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
@@ -237,13 +250,16 @@ def _median(xs: list[float]) -> float:
     return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
 
 
-def _run_children_concurrent(cores: int, paths: list[str]) -> list[dict]:
-    """Launch one --scaling-child per path simultaneously; collect results."""
+def _run_children_concurrent(cores: int, paths: list[str],
+                             cpusets: list[str] | None = None) -> list[dict]:
+    """Launch one --scaling-child per path simultaneously; collect results.
+    ``cpusets`` pins child i to its own disjoint core range (see _pin)."""
     procs = [
         subprocess.Popen(
-            [sys.executable, __file__, "--scaling-child", str(cores), p],
+            _pin(cpusets[i] if cpusets else None)
+            + [sys.executable, __file__, "--scaling-child", str(cores), p],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
-        for p in paths
+        for i, p in enumerate(paths)
     ]
     results = []
     for proc in procs:
@@ -313,25 +329,46 @@ def run_scaling_exec(n_rows: int = 1_000_000, n_windows: int = 3,
         splits.append(p)
     spark.stop()
 
+    # disjoint per-child core ranges: baseline gets cores 0..cores-1, fan
+    # child i gets i*cores..(i+1)*cores-1 — every "executor" is a real
+    # hard-capped N-core unit (see _pin), like a cluster cgroup
+    base_cpuset = f"0-{cores - 1}"
+    fan_cpusets = [f"{i * cores}-{(i + 1) * cores - 1}" for i in range(fan)]
+
     windows: list[dict] = []
     n_clean = 0
     for w in range(max_attempts):
-        base = _run_child(cores, full)
+        # STRONG-scaling baseline: one executor, the whole input
+        base = _run_child(cores, full, cpuset=base_cpuset)
         print(json.dumps({"window": w, "role": "single", **base}))
-        fan_res = _run_children_concurrent(cores, splits)
+        # WEAK-scaling baseline: one executor, ONE split (1/fan of the
+        # input).  Each emulation child is a full Spark app paying its own
+        # driver/stage-scheduling/codegen fixed costs — a real 4N-executor
+        # cluster pays those ONCE, so the strong ratio (full/4xsplit)
+        # charges the engine 4x overhead a cluster would not.  The weak
+        # ratio compares 1-split-alone vs 4-splits-concurrent: identical
+        # per-JVM fixed costs on both sides cancel, leaving exactly the
+        # concurrency penalty (the quantity the north rule's cluster gate
+        # is about).  Both are recorded; see BASELINE.md.
+        base_w = _run_child(cores, splits[0], cpuset=base_cpuset)
+        print(json.dumps({"window": w, "role": "single_split", **base_w}))
+        fan_res = _run_children_concurrent(cores, splits, cpusets=fan_cpusets)
         for r in fan_res:
             print(json.dumps({"window": w, "role": "fanout", **r}))
         total = sum(r["rows"] for r in fan_res)
         wall = max(r["sec"] for r in fan_res)
         thr_fan = total / wall
         eff = round(thr_fan / (fan * base["docs_per_sec"]), 3)
+        eff_weak = round(thr_fan / (fan * base_w["docs_per_sec"]), 3)
         # a window is clean only when EVERY JVM ran steal-free: one stolen
         # fan child caps the wall; a stolen BASELINE inflates efficiency
         # (slow denominator) — both directions are excluded
-        worst_steal = max([base.get("host_steal_pct", 0.0)]
+        worst_steal = max([base.get("host_steal_pct", 0.0),
+                           base_w.get("host_steal_pct", 0.0)]
                           + [r.get("host_steal_pct", 0.0) for r in fan_res])
         clean = worst_steal < steal_gate_pct
         win = {"window": w, "docs_per_sec_1x": base["docs_per_sec"],
+               "docs_per_sec_1x_split": base_w["docs_per_sec"],
                "docs_per_sec_fan_total": round(thr_fan, 1),
                "fan_child_secs": [r["sec"] for r in fan_res],
                "baseline_steal_pct": base.get("host_steal_pct", 0.0),
@@ -341,12 +378,23 @@ def run_scaling_exec(n_rows: int = 1_000_000, n_windows: int = 3,
                    r.get("host_steal_pct", 0) for r in fan_res),
                "worst_steal_pct": worst_steal,
                "clean": clean,
-               "efficiency": eff}
+               "efficiency": eff,
+               "efficiency_weak": eff_weak}
         windows.append(win)
         print(json.dumps(win))
         n_clean += clean
         if n_clean >= n_windows:
             break
+
+    # the host's OWN N->4N ceiling for this active-core pair (same kernels
+    # under plain multiprocessing, no Spark): at executor sizes where
+    # fan-out saturates the box (e.g. 4x8 = all 32 cores), even perfect
+    # engine scaling cannot beat this number — efficiency is only
+    # interpretable next to it.  Small executors (e.g. 4x2 = 8 active
+    # cores) keep the pair in the host's linear region and measure the
+    # ENGINE, which is why the headline run uses cores=2 (BASELINE.md).
+    ceiling = _host_parallel_ceiling([(cores, fan * cores)])[
+        f"{cores}->{fan * cores}"]
 
     clean_windows = [w for w in windows if w["clean"]]
     # headline set: the clean windows; if the host never went quiet within
@@ -356,7 +404,8 @@ def run_scaling_exec(n_rows: int = 1_000_000, n_windows: int = 3,
     effs = [w["efficiency"] for w in headline]
     now = time.strftime("%Y-%m-%d %H:%M:%S")
     evidence = {
-        "shape": f"1 vs {fan} concurrent local[{cores}] JVMs "
+        "shape": f"1 vs {fan} concurrent local[{cores}] JVMs, each "
+                 f"taskset-pinned to its own {cores}-core range "
                  "(multi-executor emulation, disjoint hash-split input)",
         "rows": n_rows,
         "efficiency": _median(effs),
@@ -367,13 +416,20 @@ def run_scaling_exec(n_rows: int = 1_000_000, n_windows: int = 3,
         "n_clean_windows": len(clean_windows),
         "n_attempted_windows": len(windows),
         "clean_quorum_met": len(clean_windows) >= n_windows,
+        "efficiency_weak": _median(
+            [w.get("efficiency_weak", w["efficiency"]) for w in headline]),
         "efficiency_windows_clean": [w["efficiency"] for w in clean_windows],
+        "efficiency_weak_windows_clean": [
+            w.get("efficiency_weak") for w in clean_windows],
         "efficiency_windows_all": [w["efficiency"] for w in windows],
         "worst_steal_pct_per_window": [
             w["worst_steal_pct"] for w in windows],
         "docs_per_sec_n": _median([w["docs_per_sec_1x"] for w in headline]),
         "docs_per_sec_4n": _median(
             [w["docs_per_sec_fan_total"] for w in headline]),
+        "host_ceiling": ceiling,
+        "executor_cores": cores,
+        "fan": fan,
         "gate": ">=0.8",
         "measured_at": now,
         "source": "bench.py --scaling-exec (sole writer of this file); "
@@ -400,20 +456,30 @@ def run_scaling_exec(n_rows: int = 1_000_000, n_windows: int = 3,
         "windows launched until",
         f"banked or {max_attempts} attempts.  Contended windows are listed, "
         "not promoted.\n",
-        "| window | docs/sec 1 JVM | docs/sec 4 JVMs total | worst steal % "
-        "| clean | efficiency |",
-        "|---|---|---|---|---|---|",
+        "| window | docs/sec 1 JVM full | docs/sec 1 JVM 1-split "
+        "| docs/sec 4 JVMs total | worst steal % | clean | eff (strong) "
+        "| eff (weak) |",
+        "|---|---|---|---|---|---|---|",
     ]
     for w in windows:
         lines.append(f"| {w['window']} | {w['docs_per_sec_1x']} "
+                     f"| {w.get('docs_per_sec_1x_split', '—')} "
                      f"| {w['docs_per_sec_fan_total']} "
                      f"| {w['worst_steal_pct']} | {w['clean']} "
-                     f"| {w['efficiency']} |")
+                     f"| {w['efficiency']} "
+                     f"| {w.get('efficiency_weak', '—')} |")
+    effs_weak = [w.get("efficiency_weak", w["efficiency"]) for w in headline]
     lines.append(
         f"\nHeadline (median of {len(headline)} "
         f"{'clean' if clean_windows else 'ALL (no clean quorum)'} windows): "
-        f"**{_median(effs)}** (gate >= 0.8, north_rule; clean quorum "
-        f"{'met' if len(clean_windows) >= n_windows else 'NOT met'}).\n")
+        f"strong **{_median(effs)}**, weak **{_median(effs_weak)}** "
+        "(gate >= 0.8, north_rule; clean quorum "
+        f"{'met' if len(clean_windows) >= n_windows else 'NOT met'}).  "
+        f"Host's own {cores}->{fan * cores}-core multiprocessing ceiling "
+        f"during this run: {ceiling} — engine efficiency cannot exceed it "
+        "at this executor size.  Strong charges each emulation JVM its own "
+        "driver/stage fixed costs (paid once on a real cluster); weak "
+        "cancels them symmetrically and isolates the concurrency penalty.\n")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BASELINE.md"), "a") as fh:
         fh.write("\n".join(lines))
@@ -536,7 +602,9 @@ if __name__ == "__main__":
                     int(sys.argv[3]) if len(sys.argv) > 3 else 3)
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-exec":
         run_scaling_exec(int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000,
-                         int(sys.argv[3]) if len(sys.argv) > 3 else 3)
+                         int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+                         cores=int(sys.argv[4]) if len(sys.argv) > 4 else 8,
+                         fan=int(sys.argv[5]) if len(sys.argv) > 5 else 4)
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-child":
         _scaling_child(int(sys.argv[2]), sys.argv[3])
     else:

@@ -58,6 +58,10 @@ class RuleProfile:
     min_stopword_frac: float = 0.01      # rule: stopword_frac  (C4 "bad" gate)
     min_alpha_word_frac: float = 0.80    # rule: alpha_frac     (Gopher 80% alpha)
     max_repeated_line_frac: float = 0.30 # rule: repeated_lines (Gopher dup lines)
+    max_repeated_paragraph_frac: float = 0.30  # rule: repeated_paragraphs
+                                         # (Gopher dup-paragraph gate — blank-
+                                         # line-delimited blocks, the template/
+                                         # spam signal lines alone miss)
     max_perplexity: float = 25.0         # rule: perplexity     (CCNet-style LM gate;
                                          # re-validated at the current model
                                          # sampling windows (langid 600 /
@@ -91,6 +95,14 @@ class RuleProfile:
     host_lang_backfill: bool = False
     host_backfill_min_conf: float = 0.5   # votes counted above this conf
     host_backfill_adopt_below: float = 0.3  # rows below this conf adopt
+    # Domain blocklist (UT1/adult-list style URL filtering, the standard
+    # web-corpus source gate): a page whose url host equals a listed host —
+    # or is a subdomain of one — fires `blocked_domain`.  Empty by default
+    # (deployments broadcast their curated list via the profile); the match
+    # is a bounded OR-chain over the list, evaluated JVM-side in the scan
+    # stage (rule P-series: url identity drives filtering, not just
+    # grouping).
+    blocked_hosts: tuple[str, ...] = ()
     # Cross-document boilerplate line removal (CCNet/RefinedWeb line dedup,
     # operators/boilerplate.py) inside the main visit: lines whose trimmed
     # form appears in >= boilerplate_min_df distinct docs of the run are

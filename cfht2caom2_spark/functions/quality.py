@@ -86,6 +86,24 @@ def repeated_line_frac(text: Column) -> Column:
     )
 
 
+def paragraphs(text: Column) -> Column:
+    """Blank-line-delimited blocks with empties removed (split on \\n{2,} —
+    the regex is RE2/Java-identical so the DuckDB oracle matches)."""
+    return F.filter(F.split(text, r"\n{2,}"), lambda p: F.trim(p) != F.lit(""))
+
+
+def repeated_paragraph_frac(text: Column) -> Column:
+    """Gopher dup-paragraph gate (Rae et al. 2021 Table A1): the fraction of
+    paragraphs that are verbatim repeats of an earlier one.  Catches
+    template/spam blocks that span multiple lines (each line unique, the
+    BLOCK repeated) which repeated_line_frac misses."""
+    ps = paragraphs(text)
+    n = F.size(ps)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(ps)).cast("double") / n.cast("double")
+    )
+
+
 def toxicity_hits(toks: Column) -> Column:
     return F.size(F.filter(toks, lambda t: F.lower(t).isin(*TOXICITY_WORDS))).cast("bigint")
 
@@ -95,7 +113,8 @@ def with_quality_stats(df: DataFrame, text_col: str = "extracted_text",
     """Append the full heuristic-stat block in one narrow projection.
 
     Emits: n_words, mean_word_len, symbol_ratio, stopword_frac,
-    alpha_word_frac, repeated_line_frac, toxicity_hits.
+    alpha_word_frac, repeated_line_frac, repeated_paragraph_frac,
+    toxicity_hits.
     """
     text = F.col(text_col)
     is_zh = (F.col(lang_col) == "zh") if lang_col else F.lit(False)
@@ -112,6 +131,7 @@ def with_quality_stats(df: DataFrame, text_col: str = "extracted_text",
             "stopword_frac": sw,
             "alpha_word_frac": alpha_word_frac(t),
             "repeated_line_frac": repeated_line_frac(text),
+            "repeated_paragraph_frac": repeated_paragraph_frac(text),
             "toxicity_hits": toxicity_hits(t),
         })
         .drop("_toks")
@@ -130,6 +150,8 @@ def heuristic_rules(profile: RuleProfile) -> dict[str, Column]:
         "stopword_frac": F.col("stopword_frac") < profile.min_stopword_frac,
         "alpha_frac": F.col("alpha_word_frac") < profile.min_alpha_word_frac,
         "repeated_lines": F.col("repeated_line_frac") > profile.max_repeated_line_frac,
+        "repeated_paragraphs": (F.col("repeated_paragraph_frac")
+                                > profile.max_repeated_paragraph_frac),
         "toxicity": F.col("toxicity_hits") > profile.max_toxicity_hits,
     }
 

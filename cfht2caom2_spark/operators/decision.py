@@ -41,13 +41,28 @@ def assemble_rules(rule_map: dict[str, Column]) -> Column:
     return F.array_sort(F.filter(F.array(*entries), lambda x: x.isNotNull()))
 
 
+def blocked_domain_rule(url: Column, blocked_hosts: tuple[str, ...]) -> Column:
+    """True when the url's host IS a listed host or a subdomain of one
+    (UT1-blocklist matching semantics).  Bounded OR-chain over the list —
+    codegen'd into the scan stage, no join; a list too large to inline
+    (>~10^3 entries) should instead broadcast-join on ``identity.host``."""
+    from ..functions.identity import host
+
+    h = host(url)
+    fired = F.lit(False)
+    for b in blocked_hosts:
+        fired = fired | (h == b) | h.endswith("." + b)
+    return fired
+
+
 def with_decision(df: DataFrame, profile: RuleProfile,
                   text_col: str = "extracted_text",
                   lang_col: str | None = "lang_pred",
                   include_model_rules: bool = True,
                   near_dup_col: str | None = None,
                   exact_dup_col: str | None = None,
-                  contaminated_col: str | None = None) -> DataFrame:
+                  contaminated_col: str | None = None,
+                  url_col: str | None = "url") -> DataFrame:
     """Append ``rules array<string>`` + ``keep boolean``.
 
     Expects the quality-stat columns (functions.quality.with_quality_stats)
@@ -56,6 +71,9 @@ def with_decision(df: DataFrame, profile: RuleProfile,
     MinHash losers / byte-identical-content losers.
     """
     rules = dict(heuristic_rules(profile))
+    if profile.blocked_hosts and url_col is not None and url_col in df.columns:
+        rules["blocked_domain"] = blocked_domain_rule(
+            F.col(url_col), profile.blocked_hosts)
     # rule-profile dispatch (P13): word-length rules are meaningless for
     # space-free CJK where tokens are single characters — gate them off.
     if lang_col is not None:

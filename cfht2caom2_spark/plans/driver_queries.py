@@ -82,12 +82,17 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.stopword_frac(t, "en").alias("stopword_frac"),
         Q.alpha_word_frac(t).alias("alpha_word_frac"),
         Q.repeated_line_frac(text).alias("repeated_line_frac"),
+        Q.repeated_paragraph_frac(text).alias("repeated_paragraph_frac"),
     )
 
 
+# prs: blank-line-delimited paragraphs — '\n{2,}' is literal in DuckDB
+# single-quoted strings (no escape processing), RE2 reads it as the regex
 _STATS_CTE_SQL = f"""
   SELECT doc_id, text, {_TOKS} AS toks,
-         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lns
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lns,
+         list_filter(regexp_split_to_array(text, '\\n{{2,}}'),
+                     p -> trim(p) <> '') AS prs
   FROM documents
 """
 
@@ -103,7 +108,10 @@ _STATS_EXPRS_SQL = f"""
     / greatest(len(toks), 1)::DOUBLE AS alpha_word_frac,
   CASE WHEN len(lns) <= 0 THEN 0.0
        ELSE 1.0 - len(list_distinct(lns))::DOUBLE / len(lns)::DOUBLE
-  END AS repeated_line_frac
+  END AS repeated_line_frac,
+  CASE WHEN len(prs) <= 0 THEN 0.0
+       ELSE 1.0 - len(list_distinct(prs))::DOUBLE / len(prs)::DOUBLE
+  END AS repeated_paragraph_frac
 """
 
 Q_TEXT_STATS_SQL = f"""
@@ -1315,7 +1323,7 @@ def q_pipeline_flagship_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "url", "extracted_sha256", "n_words", "mean_word_len", "symbol_ratio",
         "stopword_frac", "alpha_word_frac", "repeated_line_frac",
-        "quality_score",
+        "repeated_paragraph_frac", "quality_score",
         F.array_join("rules", ",").alias("rules_str"), "keep",
         F.array_join("scrub_rules", ",").alias("scrub_rules_str"),
         "scrubbed_text",
@@ -1333,6 +1341,7 @@ _DET_RULE_CASES = ", ".join(
         ("stopword_frac", "stopword_frac < 0.01"),
         ("alpha_frac", "alpha_word_frac < 0.80"),
         ("repeated_lines", "repeated_line_frac > 0.30"),
+        ("repeated_paragraphs", "repeated_paragraph_frac > 0.30"),
         ("toxicity", "toxicity_hits > 0"),
     )
 )
@@ -1360,7 +1369,9 @@ WITH base AS (
 ),
 t AS (
   SELECT url, text, {_TOKS} AS toks,
-         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lns
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lns,
+         list_filter(regexp_split_to_array(text, '\\n{{2,}}'),
+                     p -> trim(p) <> '') AS prs
   FROM base
 ),
 s AS (
@@ -1377,7 +1388,7 @@ r AS (
 SELECT url,
   CASE WHEN text IS NOT NULL THEN sha256(text) END AS extracted_sha256,
   n_words, mean_word_len, symbol_ratio, stopword_frac, alpha_word_frac,
-  repeated_line_frac,
+  repeated_line_frac, repeated_paragraph_frac,
   {_quality_score_sql()} AS quality_score,
   coalesce(array_to_string(rules, ','), '') AS rules_str,
   coalesce(len(rules), 0) = 0 AS keep,

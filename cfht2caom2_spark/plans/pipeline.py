@@ -40,7 +40,8 @@ OUTPUT_COLUMNS = [
     "url", "warc_ts", "extracted_sha256", "lang_pred", "lang_conf",
     "lang_source", "ppl",
     "n_words", "mean_word_len", "symbol_ratio", "stopword_frac",
-    "alpha_word_frac", "repeated_line_frac", "quality_score",
+    "alpha_word_frac", "repeated_line_frac", "repeated_paragraph_frac",
+    "quality_score",
     "keep", "rules", "scrub_rules", "scrubbed_text",
 ]
 

@@ -18,6 +18,18 @@ The query layer never sees the difference: swap ``read``/``append`` for
 ``spark.read.format("iceberg")`` / ``writeTo(...).append()`` and every plan
 in this repo is unchanged.  ``p_day`` stays a real partition column so
 predicate -> partition pruning works identically.
+
+That swap is packaged here: ``open_table(spark, target)`` dispatches on the
+target — a filesystem path opens the parquet ``SnapshotTable``; a
+``catalog.namespace.table`` identifier whose catalog is configured in the
+session (``spark.sql.catalog.<name>`` set, the standard Iceberg wiring)
+opens ``IcebergTable``, the same four-method surface expressed through the
+real Iceberg reader options (``snapshot-id`` /
+``start-snapshot-id``/``end-snapshot-id``) and ``writeTo().append()``.
+This sandbox ships no Iceberg runtime jar, so ``IcebergTable`` methods are
+exercised against a live catalog only in deployment; the DISPATCH is unit
+tested here (the adapter-seam pattern the fastText/KenLM model contracts
+use, functions/langid.py).
 """
 
 from __future__ import annotations
@@ -121,3 +133,93 @@ class SnapshotTable:
             if (after is None or s > after) and s <= until:
                 files.extend(self._manifest(s)["added_files"])
         return self._read_files(spark, files)
+
+
+class IcebergTable:
+    """The same snapshot/incremental surface over a REAL Iceberg catalog
+    table (reference analogue: the data-store client the pipeline reads
+    and writes through, /root/reference/cfht2caom2/metadata.py uses the
+    collection's archive client the same way — one seam, two backends).
+
+    ``identifier`` is ``catalog.namespace.table``; the catalog must be
+    configured on the session (``spark.sql.catalog.<catalog>`` plus its
+    warehouse/uri confs — see SCALE_RUNBOOK.md "Iceberg catalog").  All
+    methods issue standard Iceberg reads/writes; nothing here imports an
+    Iceberg library (the runtime jar provides the DataSource), so the
+    class constructs anywhere and fails only when used without the jar.
+    """
+
+    def __init__(self, spark: SparkSession, identifier: str):
+        self.spark = spark
+        self.identifier = identifier
+
+    # -- manifest bookkeeping ------------------------------------------------
+    def snapshots(self) -> list[int]:
+        rows = (self.spark.read.table(f"{self.identifier}.snapshots")
+                .select("snapshot_id").orderBy("committed_at").collect())
+        return [r["snapshot_id"] for r in rows]
+
+    def current_snapshot(self) -> int | None:
+        snaps = self.snapshots()
+        return snaps[-1] if snaps else None
+
+    # -- write path ----------------------------------------------------------
+    def append(self, df: DataFrame, ts_col: str = "warc_ts") -> int:
+        """One appended snapshot.  The table's partition spec is expected to
+        be ``days(warc_ts)`` (north_rule) — created once via
+        ``CREATE TABLE ... PARTITIONED BY (days(warc_ts))`` — so no derived
+        p_day column is needed: Iceberg's hidden partitioning prunes on
+        warc_ts predicates directly."""
+        df.writeTo(self.identifier).append()
+        sid = self.current_snapshot()
+        assert sid is not None
+        return sid
+
+    # -- read path -----------------------------------------------------------
+    def read(self, spark: SparkSession | None = None,
+             snapshot_id: int | None = None) -> DataFrame:
+        spark = spark or self.spark
+        reader = spark.read.format("iceberg")
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", str(snapshot_id))
+        return reader.table(self.identifier)
+
+    def incremental(self, spark: SparkSession | None = None,
+                    after: int | None = None,
+                    until: int | None = None) -> DataFrame:
+        """Iceberg incremental scan: rows appended in (after, until]."""
+        spark = spark or self.spark
+        reader = spark.read.format("iceberg")
+        if after is not None:
+            reader = reader.option("start-snapshot-id", str(after))
+        if until is not None:
+            reader = reader.option("end-snapshot-id", str(until))
+        return reader.table(self.identifier)
+
+
+def resolve_backend(spark: SparkSession, target: str) -> str:
+    """'iceberg' when ``target`` is a catalog identifier whose leading part
+    names a configured Spark catalog; 'parquet' otherwise (filesystem path
+    -> SnapshotTable).  Paths always win: anything with a separator or an
+    existing directory is a path even if a same-named catalog exists."""
+    if os.sep in target or "/" in target or os.path.exists(target):
+        return "parquet"
+    head, _, rest = target.partition(".")
+    if not rest:
+        return "parquet"
+    try:
+        spark.conf.get(f"spark.sql.catalog.{head}")
+        return "iceberg"
+    except Exception:
+        return "parquet"
+
+
+def open_table(spark: SparkSession, target: str):
+    """Backend dispatch: the ONE call sites use to get a pages table.
+
+    >>> open_table(spark, "/data/pages")           # parquet SnapshotTable
+    >>> open_table(spark, "lake.web.pages")        # IcebergTable
+    """
+    if resolve_backend(spark, target) == "iceberg":
+        return IcebergTable(spark, target)
+    return SnapshotTable(target)

@@ -101,6 +101,8 @@ def reference_labels(n_rows: int, seed: int = 42,
                         if re.search(r"[A-Za-zÀ-ÿ一-鿿]", t)) / max(n, 1)
             lines = [l for l in text.split("\n") if l.strip()]
             rep = 1 - len(set(lines)) / len(lines) if lines else 0.0
+            paras = [p for p in re.split(r"\n{2,}", text) if p.strip()]
+            rep_p = 1 - len(set(paras)) / len(paras) if paras else 0.0
             tox = sum(1 for t in toks if t.lower() in TOXICITY_WORDS)
 
             if n < profile.min_words:
@@ -119,6 +121,8 @@ def reference_labels(n_rows: int, seed: int = 42,
                 rules.add("alpha_frac")
             if rep > profile.max_repeated_line_frac:
                 rules.add("repeated_lines")
+            if rep_p > profile.max_repeated_paragraph_frac:
+                rules.add("repeated_paragraphs")
             if tox > profile.max_toxicity_hits:
                 rules.add("toxicity")
             thr = (profile.max_perplexity_zh if lang == "zh"

@@ -368,3 +368,50 @@ def test_scrub_rules_attributed_in_decisions(spark):
     assert "scrub_rules" in next(iter(out.values())).asDict()
     assert out["https://pii.com/a"]["scrub_rules"] == ["pii_email", "pii_phone"]
     assert out["https://nopii.com/b"]["scrub_rules"] == []
+
+
+def test_blocked_domain_rule_in_pipeline(spark):
+    """UT1-style domain blocklist (RuleProfile.blocked_hosts): exact host
+    and subdomain matches fire `blocked_domain`; other hosts are untouched;
+    the default empty list changes nothing."""
+    from cfht2caom2_spark.config import RuleProfile
+
+    pages = _mk_pages(spark, [
+        ("https://spam.example/page", 0, _CLEAN_A),
+        ("https://deep.sub.spam.example/x", 1, _CLEAN_A + " extra"),
+        ("https://notspam.example/y", 2, _CLEAN_B),
+        ("https://ok.example/z", 3, _CLEAN_B + " extra"),
+    ])
+    prof = RuleProfile(blocked_hosts=("spam.example",))
+    out = {r["url"]: r for r in build_pipeline(
+        pages, spark, profile=prof, dedupe=False, has_html=False).collect()}
+    assert "blocked_domain" in out["https://spam.example/page"]["rules"]
+    assert not out["https://spam.example/page"]["keep"]
+    assert "blocked_domain" in out["https://deep.sub.spam.example/x"]["rules"]
+    # "notspam.example" ends with "spam.example" as a STRING but is not a
+    # subdomain — the dot-anchored match must not fire
+    assert "blocked_domain" not in out["https://notspam.example/y"]["rules"]
+    assert "blocked_domain" not in out["https://ok.example/z"]["rules"]
+    # default profile: rule absent entirely
+    base = {r["url"]: r for r in build_pipeline(
+        pages, spark, dedupe=False, has_html=False).collect()}
+    assert all("blocked_domain" not in r["rules"] for r in base.values())
+
+
+def test_repeated_paragraph_rule_fires_where_lines_do_not(spark):
+    """Gopher dup-paragraph gate: repeated single-line paragraphs push the
+    paragraph fraction over 0.30 while the line fraction stays under it —
+    the case the line gate structurally misses."""
+    spam = "LIMITED TIME OFFER ACT NOW"
+    body = "\n".join(f"unique line {i} with several plain words here"
+                     for i in range(12))
+    text = f"{spam}\n\n{spam}\n\n{body}"
+    pages = _mk_pages(spark, [("https://a.example/p", 0, text),
+                              ("https://b.example/q", 1, _CLEAN_B)])
+    out = {r["url"]: r for r in build_pipeline(
+        pages, spark, dedupe=False, has_html=False).collect()}
+    a = out["https://a.example/p"]
+    assert "repeated_paragraphs" in a["rules"]
+    assert "repeated_lines" not in a["rules"]
+    assert a["repeated_paragraph_frac"] > 0.3
+    assert out["https://b.example/q"]["repeated_paragraph_frac"] == 0.0

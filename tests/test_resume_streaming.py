@@ -348,3 +348,31 @@ def test_compaction_null_keep_passes_through(spark):
     assert out["https://a.com/1"]["keep"] is None      # untouched
     assert out["https://c.com/1"]["keep"] is None
     assert out["https://b.com/1"]["keep"] is True
+
+
+def test_open_table_backend_dispatch(spark, tmp_path):
+    """Adapter seam (round-4 verdict #5): a filesystem path opens the
+    parquet SnapshotTable; a catalog identifier whose catalog is configured
+    on the session opens IcebergTable; an identifier with NO configured
+    catalog stays parquet.  Construction never touches the catalog (no
+    Iceberg runtime in this sandbox)."""
+    from cfht2caom2_spark.sources.table import (IcebergTable, SnapshotTable,
+                                                open_table, resolve_backend)
+
+    p = str(tmp_path / "pages")
+    assert resolve_backend(spark, p) == "parquet"
+    assert isinstance(open_table(spark, p), SnapshotTable)
+
+    assert resolve_backend(spark, "lake.web.pages") == "parquet"  # unconfigured
+    spark.conf.set("spark.sql.catalog.lake",
+                   "org.apache.iceberg.spark.SparkCatalog")
+    try:
+        assert resolve_backend(spark, "lake.web.pages") == "iceberg"
+        t = open_table(spark, "lake.web.pages")
+        assert isinstance(t, IcebergTable) and t.identifier == "lake.web.pages"
+        # a path wins even while a same-named catalog exists
+        assert resolve_backend(spark, p) == "parquet"
+        # bare name (no namespace) is a path-ish target, not a catalog ref
+        assert resolve_backend(spark, "lake") == "parquet"
+    finally:
+        spark.conf.unset("spark.sql.catalog.lake")
