@@ -45,7 +45,7 @@ BENCH_QUERIES = [
     "q_dedup_clusters", "q_dedup_clusters_fast", "q_preview_stats",
     "q_repetition_stats",
     "q_pipeline_heuristic", "q_pipeline_flagship_det", "q_boilerplate_lines",
-    "q_decontaminate", "q_decontaminate_fast",
+    "q_decontaminate", "q_decontaminate_fast", "q_repeated_spans",
     "q_stratified_sample", "q_mixture_report",
     "q_quality_score", "q_bigram_counts",
     "q_pipeline_flagship",

@@ -1559,6 +1559,77 @@ QUERIES["q_decontaminate"] = q_decontaminate
 ORACLES["q_decontaminate"] = Q_DECONTAMINATE_SQL
 NO_ORACLE_QUERIES["q_decontaminate_fast"] = q_decontaminate_fast
 NO_ORACLE_QUERIES["q_dedup_clusters_fast"] = q_dedup_clusters_fast
+
+
+# --------------------------------------------------------------------------
+# exact-substring repeated spans (operators/spans.py, ExactSubstr dedup)
+# --------------------------------------------------------------------------
+
+SPAN_K = 8            # >= K-token runs count as duplicated (50 at crawl
+                      # scale per Lee et al.; 8 so sf0.01 docs exercise it)
+SPAN_MIN_COUNT = 2
+
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span summary per doc: merged >=K-token
+    runs occurring more than once anywhere in the corpus (string window
+    keys — the exact/oracle mode; production swaps key_fn=crc32, pytest
+    pins the swap equivalence)."""
+    from ..operators.spans import repeated_spans
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return repeated_spans(docs, id_col="doc_id", text_col="text",
+                          k=SPAN_K, min_count=SPAN_MIN_COUNT)
+
+
+Q_REPEATED_SPANS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id, u.i - 1 AS pos,
+         array_to_string(toks[u.i:u.i + {SPAN_K - 1}], ' ') AS key
+  FROM t, UNNEST(generate_series(1, len(toks) - {SPAN_K - 1})) AS u(i)
+  WHERE len(toks) >= {SPAN_K}
+),
+dup AS (
+  SELECT key FROM w GROUP BY key HAVING count(*) >= {SPAN_MIN_COUNT}
+),
+m AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (key)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       + {SPAN_K}
+              THEN 1 ELSE 0 END AS brk
+  FROM m
+),
+g AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+sp AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + {SPAN_K - 1} AS e
+  FROM g GROUP BY doc_id, island
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_spans,
+         sum(e - s + 1)::BIGINT AS dup_token_count
+  FROM sp GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+       coalesce(agg.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(agg.dup_token_count, 0)::BIGINT AS dup_token_count,
+       coalesce(agg.dup_token_count, 0)::DOUBLE
+         / greatest(len(t.toks), 1)::DOUBLE AS dup_token_frac
+FROM t LEFT JOIN agg USING (doc_id)
+"""
+
+QUERIES["q_repeated_spans"] = q_repeated_spans
+ORACLES["q_repeated_spans"] = Q_REPEATED_SPANS_SQL
 QUERIES["q_stratified_sample"] = q_stratified_sample
 ORACLES["q_stratified_sample"] = Q_STRATIFIED_SAMPLE_SQL
 QUERIES["q_mixture_report"] = q_mixture_report

@@ -504,3 +504,83 @@ def test_dedup_clusters_fast_component_invariants(spark):
     assert true_pairs
     for a, b in true_pairs:
         assert fast_lbl.get(a) == fast_lbl.get(b) is not None, (a, b)
+
+
+# --- exact-substring repeated spans (operators/spans.py) --------------------
+
+def _span_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_repeated_spans_cross_doc_and_boundaries(spark):
+    """A shared >=K-token sentence marks ONE merged span in each carrier
+    with exact token boundaries; unrelated docs report zero."""
+    from cfht2caom2_spark.operators.spans import repeated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = _span_docs(spark, [
+        (1, f"intro one two three {shared} tail4 tail5"),
+        (2, f"{shared} other closing words here"),
+        (3, "entirely unrelated text with eight distinct plain words"),
+    ])
+    out = {r["doc_id"]: r for r in repeated_spans(
+        docs, k=8, min_count=2).collect()}
+    assert len(out) == 3
+    # doc 1: tokens 0-3 are prefix, shared = tokens 4..11 -> 8 dup tokens
+    assert out[1]["n_spans"] == 1 and out[1]["dup_token_count"] == 8
+    assert out[2]["n_spans"] == 1 and out[2]["dup_token_count"] == 8
+    assert out[3]["n_spans"] == 0 and out[3]["dup_token_frac"] == 0.0
+
+
+def test_repeated_spans_long_run_merges_to_one_span(spark):
+    """Tiling invariance: a 2K-token shared run produces K+1 marked windows
+    that must merge into exactly ONE span covering 2K tokens."""
+    from cfht2caom2_spark.operators.spans import repeated_spans
+
+    run = " ".join(f"w{i}" for i in range(16))  # 16 tokens, K=8
+    docs = _span_docs(spark, [
+        (1, f"unique opening {run}"),
+        (2, f"{run} unique ending"),
+    ])
+    out = {r["doc_id"]: r for r in repeated_spans(
+        docs, k=8, min_count=2).collect()}
+    assert out[1]["n_spans"] == 1 and out[1]["dup_token_count"] == 16
+    assert out[2]["n_spans"] == 1 and out[2]["dup_token_count"] == 16
+
+
+def test_repeated_spans_within_doc_and_two_islands(spark):
+    """Within-doc repetition counts (ExactSubstr semantics), and two
+    far-apart shared runs stay two separate spans."""
+    from cfht2caom2_spark.operators.spans import repeated_spans
+
+    a = "p1 p2 p3 p4 p5 p6 p7 p8"
+    b = "q1 q2 q3 q4 q5 q6 q7 q8"
+    gap = " ".join(f"g{i}" for i in range(12))
+    docs = _span_docs(spark, [
+        (1, f"{a} {gap} {b}"),
+        (2, f"{a} middle filler words {b}"),
+        (3, f"{a} again later on comes {a}"),   # self-repeat
+    ])
+    out = {r["doc_id"]: r for r in repeated_spans(
+        docs, k=8, min_count=2).collect()}
+    assert out[1]["n_spans"] == 2 and out[1]["dup_token_count"] == 16
+    assert out[3]["dup_token_count"] >= 16  # both self-copies flagged
+
+
+def test_repeated_spans_hash_key_swap_matches_exact(spark):
+    """Production key_fn (xxhash64, 64-bit) reproduces the exact string-key
+    result — the oracle mode and the scale mode agree.  (crc32 mod 2^31-1,
+    the MinHash-family hash, is deliberately NOT used here: corpus-wide
+    window-key cardinality passes the 2^31 birthday bound at ~10^5 windows
+    and manufactured 2 false spans on this very table.)"""
+    from cfht2caom2_spark.operators.spans import repeated_spans
+    from cfht2caom2_spark.plans.driver_queries import (SPAN_K,
+                                                       SPAN_MIN_COUNT)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = sorted(map(tuple, repeated_spans(
+        docs, k=SPAN_K, min_count=SPAN_MIN_COUNT).collect()))
+    hashed = sorted(map(tuple, repeated_spans(
+        docs, k=SPAN_K, min_count=SPAN_MIN_COUNT,
+        key_fn=lambda c: F.xxhash64(c)).collect()))
+    assert exact == hashed

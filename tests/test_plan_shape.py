@@ -197,3 +197,17 @@ def test_bench_list_covers_every_registered_query():
     registered = set(QUERIES) | set(NO_ORACLE_QUERIES)
     covered = set(bench.BENCH_QUERIES) | bench.BENCH_EXCLUDED
     assert covered == registered, covered ^ registered
+
+
+def test_repeated_spans_plan_no_mandatory_broadcast(spark):
+    """ExactSubstr spans (operators/spans.py): the duplicated-key set is
+    corpus-growing (30%+ of crawl windows are duplicated), so no side may
+    carry a mandatory broadcast; all shuffles run over slim (id, pos, key)
+    projections with strategy left to AQE."""
+    from cfht2caom2_spark.operators.spans import repeated_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = repeated_spans(docs, k=8)
+    assert "ResolvedHint" not in str(df._jdf.queryExecution().logical())
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
