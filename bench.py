@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "q_repetition_stats",
     "q_pipeline_heuristic", "q_pipeline_flagship_det", "q_boilerplate_lines",
     "q_decontaminate", "q_decontaminate_fast", "q_repeated_spans",
+    "q_span_scrub",
     "q_stratified_sample", "q_mixture_report",
     "q_quality_score", "q_bigram_counts",
     "q_pipeline_flagship",
@@ -520,7 +521,11 @@ def run_scaling(n_rows: int = 320_000, n_windows: int = 3) -> None:
     for w in range(n_windows):
         results = {}
         for cores in core_counts:
-            results[cores] = _run_child(cores, pages_path)
+            # taskset-pinned (round 4, see _pin): an unpinned local[N] JVM
+            # soaks idle host cores through GC/JIT helper threads, which
+            # flatters the SMALL-core side and understates N->4N efficiency
+            results[cores] = _run_child(cores, pages_path,
+                                        cpuset=f"0-{cores - 1}")
             print(json.dumps({"window": w, **results[cores]}))
         thr = {c: results[c]["docs_per_sec"] for c in core_counts}
         win = {"window": w, "throughput": {str(c): thr[c] for c in core_counts},

@@ -143,3 +143,98 @@ def repeated_spans(docs: DataFrame, id_col: str = "doc_id",
             .alias("dup_token_frac"),
         )
     )
+
+
+def remove_repeated_spans(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 50,
+                          key_fn=None, min_count: int = 2,
+                          order_col: str | None = None) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. §4.1 keep-one semantics, window-
+    granular): for every duplicated K-window key, its FIRST occurrence —
+    ordered by (order_col, id, pos); id order when order_col is None —
+    is exempt; a token is removed iff covered by at least one non-exempt
+    duplicated window.  Returns (id, cleaned_text, removed_token_count):
+    docs with nothing to remove keep their ORIGINAL text byte-identical;
+    docs with removals are rebuilt from the surviving tokens
+    (single-space joined — token-level ops are whitespace-normalizing,
+    same contract as the lower-cased window keys).
+
+    Scale shape = repeated_spans plus one map-side-combinable min_by per
+    key (the exemption) — still three slim shuffles, no corpus text
+    through any of them; the text rides only the final join-back, keyed by
+    the unique doc id.
+    """
+    ord_expr = F.col(order_col) if order_col else F.col(id_col)
+    keys = window_keys(F.col(text_col), k)
+    if key_fn is not None:
+        keys = F.transform(keys, key_fn)
+    # ORIGINAL-case tokens for reconstruction (keys lower-case only for
+    # matching; lower() never changes whitespace, so indices line up)
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda t: t != F.lit(""))
+    base = docs.select(F.col(id_col), F.col(text_col),
+                       ord_expr.alias("_ord"), toks.alias("_toks"),
+                       keys.alias("_keys"))
+
+    stream = base.select(id_col, "_ord",
+                         F.posexplode("_keys").alias("pos", "_k"))
+    key_stats = (
+        stream.groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_c"),
+             F.min_by(F.struct(F.col(id_col).alias("i"),
+                               F.col("pos").alias("p")),
+                      F.struct("_ord", id_col, "pos")).alias("_first"))
+        .filter(F.col("_c") >= min_count)
+        .select("_k", "_first")
+    )
+    marks = (
+        stream.join(key_stats, on="_k", how="inner")
+        .filter(~((F.col(id_col) == F.col("_first.i"))
+                  & (F.col("pos") == F.col("_first.p"))))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("_marks"))
+    )
+
+    # same gaps-and-islands fold as repeated_spans, but emitting the span
+    # ARRAY so the removal filter can test token coverage
+    empty_spans = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    init = F.struct(F.lit(-1).cast("bigint").alias("s"),
+                    F.lit(-1).cast("bigint").alias("e"),
+                    empty_spans.alias("arr"))
+
+    def step(acc, p):
+        w_end = p + F.lit(k - 1)
+        extend = p <= acc["e"] + 1
+        closed = F.array(F.struct(acc["s"].alias("s"), acc["e"].alias("e")))
+        return F.struct(
+            F.when(acc["s"] < 0, p)
+            .when(extend, acc["s"]).otherwise(p).alias("s"),
+            F.when(acc["s"] < 0, w_end)
+            .when(extend, F.greatest(acc["e"], w_end))
+            .otherwise(w_end).alias("e"),
+            F.when((acc["s"] >= 0) & ~extend,
+                   F.concat(acc["arr"], closed))
+            .otherwise(acc["arr"]).alias("arr"),
+        )
+
+    def finish(acc):
+        last = F.array(F.struct(acc["s"].alias("s"), acc["e"].alias("e")))
+        return F.when(acc["s"] >= 0, F.concat(acc["arr"], last)) \
+            .otherwise(acc["arr"])
+
+    spans = marks.select(
+        id_col, F.aggregate("_marks", init, step, finish).alias("_spans"))
+
+    joined = base.join(spans, on=id_col, how="left")
+    sp = F.col("_spans")
+    covered = lambda i: F.exists(  # noqa: E731 — readability in the filter
+        sp, lambda s: (i >= s["s"]) & (i <= s["e"]))
+    kept = F.filter(F.col("_toks"), lambda t, i: ~covered(i.cast("bigint")))
+    removed = F.size(F.col("_toks")) - F.size(kept)
+    return joined.select(
+        id_col,
+        F.when(sp.isNull() | (F.size(sp) == 0), F.col(text_col))
+        .otherwise(F.array_join(kept, " ")).alias("cleaned_text"),
+        F.when(sp.isNull(), F.lit(0)).otherwise(removed)
+        .cast("bigint").alias("removed_token_count"),
+    )

@@ -1630,6 +1630,85 @@ FROM t LEFT JOIN agg USING (doc_id)
 
 QUERIES["q_repeated_spans"] = q_repeated_spans
 ORACLES["q_repeated_spans"] = Q_REPEATED_SPANS_SQL
+
+
+def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal with keep-one semantics: the first occurrence of
+    each duplicated window (by doc_id, pos) is exempt; later occurrences'
+    tokens are stripped and the doc rebuilt from the survivors (original
+    text kept byte-identical when nothing is removed)."""
+    from ..operators.spans import remove_repeated_spans
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return remove_repeated_spans(docs, id_col="doc_id", text_col="text",
+                                 k=SPAN_K, min_count=SPAN_MIN_COUNT)
+
+
+Q_SPAN_SCRUB_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS ltoks,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS otoks
+  FROM documents
+),
+w AS (
+  SELECT doc_id, u.i - 1 AS pos,
+         array_to_string(ltoks[u.i:u.i + {SPAN_K - 1}], ' ') AS key
+  FROM t, UNNEST(generate_series(1, len(ltoks) - {SPAN_K - 1})) AS u(i)
+  WHERE len(ltoks) >= {SPAN_K}
+),
+s AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY key) AS cnt,
+         row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn
+  FROM w
+),
+m AS (SELECT doc_id, pos FROM s WHERE cnt >= {SPAN_MIN_COUNT} AND rn > 1),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       + {SPAN_K}
+              THEN 1 ELSE 0 END AS brk
+  FROM m
+),
+gi AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+sp AS (
+  SELECT doc_id, island, min(pos) AS sp_s, max(pos) + {SPAN_K - 1} AS sp_e
+  FROM gi GROUP BY doc_id, island
+),
+tok AS (
+  SELECT t.doc_id, u.i - 1 AS idx, t.otoks[u.i] AS tok
+  FROM t, UNNEST(generate_series(1, len(t.otoks))) AS u(i)
+),
+rem AS (
+  SELECT DISTINCT tok.doc_id, tok.idx
+  FROM tok JOIN sp ON tok.doc_id = sp.doc_id
+                  AND tok.idx BETWEEN sp.sp_s AND sp.sp_e
+),
+removed AS (SELECT doc_id, count(*)::BIGINT AS n FROM rem GROUP BY doc_id),
+keptagg AS (
+  SELECT tok.doc_id,
+         string_agg(tok.tok, ' ' ORDER BY tok.idx) AS cleaned
+  FROM tok ANTI JOIN rem USING (doc_id, idx)
+  GROUP BY tok.doc_id
+)
+SELECT t.doc_id,
+  CASE WHEN coalesce(removed.n, 0) = 0 THEN t.text
+       ELSE coalesce(keptagg.cleaned, '') END AS cleaned_text,
+  coalesce(removed.n, 0)::BIGINT AS removed_token_count
+FROM t
+LEFT JOIN removed USING (doc_id)
+LEFT JOIN keptagg USING (doc_id)
+"""
+
+QUERIES["q_span_scrub"] = q_span_scrub
+ORACLES["q_span_scrub"] = Q_SPAN_SCRUB_SQL
 QUERIES["q_stratified_sample"] = q_stratified_sample
 ORACLES["q_stratified_sample"] = Q_STRATIFIED_SAMPLE_SQL
 QUERIES["q_mixture_report"] = q_mixture_report

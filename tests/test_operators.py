@@ -584,3 +584,42 @@ def test_repeated_spans_hash_key_swap_matches_exact(spark):
         docs, k=SPAN_K, min_count=SPAN_MIN_COUNT,
         key_fn=lambda c: F.xxhash64(c)).collect()))
     assert exact == hashed
+
+
+def test_remove_repeated_spans_keep_first(spark):
+    """Keep-one semantics: the earliest occurrence (doc order, then pos)
+    keeps its text byte-identical; later occurrences lose exactly the
+    duplicated tokens and are rebuilt case-preserved from the survivors."""
+    from cfht2caom2_spark.operators.spans import remove_repeated_spans
+
+    shared = "Alpha Beta Gamma Delta Epsilon Zeta Eta Theta"  # 8 tokens
+    docs = _span_docs(spark, [
+        (1, f"first doc keeps everything {shared}"),
+        (2, f"{shared} second doc loses the copied run"),
+        (3, "untouched doc with no duplicated content at all"),
+    ])
+    out = {r["doc_id"]: r for r in remove_repeated_spans(
+        docs, k=8, min_count=2).collect()}
+    assert out[1]["removed_token_count"] == 0
+    assert out[1]["cleaned_text"] == f"first doc keeps everything {shared}"
+    assert out[2]["removed_token_count"] == 8
+    assert out[2]["cleaned_text"] == "second doc loses the copied run"
+    assert out[3]["removed_token_count"] == 0
+    assert out[3]["cleaned_text"].startswith("untouched")
+
+
+def test_remove_repeated_spans_all_removed_and_case(spark):
+    """A doc that is entirely a later copy empties to ''; matching is
+    case-insensitive but reconstruction preserves the original case."""
+    from cfht2caom2_spark.operators.spans import remove_repeated_spans
+
+    run = "one two three four five six seven eight"
+    docs = _span_docs(spark, [
+        (1, f"Prefix words here {run}"),
+        (2, run.upper()),                       # later, case-variant copy
+    ])
+    out = {r["doc_id"]: r for r in remove_repeated_spans(
+        docs, k=8, min_count=2).collect()}
+    assert out[1]["removed_token_count"] == 0
+    assert out[1]["cleaned_text"] == f"Prefix words here {run}"
+    assert out[2]["cleaned_text"] == "" and out[2]["removed_token_count"] == 8
