@@ -42,6 +42,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="strip cross-document boilerplate lines "
                         "(trimmed line in >= 3 distinct docs) before "
                         "stats + scrub")
+    b.add_argument("--span-dedup", action="store_true",
+                   help="ExactSubstr keep-one span removal: strip later "
+                        "occurrences of >=50-token runs (operators/spans.py)")
     b.add_argument("--benchmark", default=None,
                    help="parquet of eval-suite docs (column `text`); docs "
                         "overlapping it fire the `contaminated` drop rule")
@@ -95,7 +98,8 @@ def main(argv: list[str] | None = None) -> int:
         profile = replace(DEFAULT_PROFILE,
                           dedup_policy=args.dedup_policy,
                           host_lang_backfill=args.host_backfill,
-                          boilerplate_removal=args.boilerplate)
+                          boilerplate_removal=args.boilerplate,
+                          span_removal=args.span_dedup)
         benchmark = (spark.read.parquet(args.benchmark)
                      if args.benchmark else None)
         result = run_batch(spark, pages, args.out, profile=profile,

@@ -113,6 +113,17 @@ class RuleProfile:
     # property of the page as crawled.
     boilerplate_removal: bool = False
     boilerplate_min_df: int = 3
+    # ExactSubstr span removal (operators/spans.py) inside the main visit:
+    # runs of >= span_k tokens occurring >= span_min_count times across the
+    # run lose every occurrence but the first (keep-one, Lee et al. 2022
+    # §4.1).  Runs AFTER boilerplate removal, BEFORE the heuristic stats /
+    # scrub, with the same contract: keep/drop and the stored artifact
+    # reflect trainable content; model scores and dedup signatures keep the
+    # as-crawled extraction.  span_k=50 is the paper's choice — long enough
+    # that legitimate reuse (idioms, quotes under ~50 tokens) never fires.
+    span_removal: bool = False
+    span_k: int = 50
+    span_min_count: int = 2
     # Benchmark decontamination (operators/decontam.py): when the caller
     # hands build_pipeline an eval-suite DataFrame, a doc sharing >=
     # decontam_min_overlap distinct word decontam_k-grams with ANY suite doc

@@ -120,7 +120,7 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
     # headers-fetched-once discipline, cfht_name.py:525-548; SURVEY §4
     # "cache the post-extraction DataFrame before fanning out")
     if (dedupe or profile.host_lang_backfill or profile.boilerplate_removal
-            or benchmark is not None):
+            or profile.span_removal or benchmark is not None):
         from pyspark import StorageLevel
 
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -172,6 +172,40 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
                        F.coalesce(F.col("cleaned_text"), F.lit("")))
                 .otherwise(F.col("extracted_text")))
             .drop("_bp_id", "cleaned_text")
+        )
+
+    if profile.span_removal:
+        # ExactSubstr keep-one span removal (Lee et al. 2022 §4.1) inside
+        # the main visit, after line-level boilerplate: later occurrences
+        # of any >= span_k-token run are stripped.  Same join-back
+        # discipline as boilerplate (sha-folded key; identical re-crawls
+        # share the key and BOTH rank as the same "first occurrence", so
+        # they keep/lose tokens identically) and the same content
+        # contract: stats + scrub downstream see the cleaned text.
+        from ..operators.spans import remove_repeated_spans
+
+        row_key = _row_key(id_col, order_col)
+        span_cleaned = remove_repeated_spans(
+            df.withColumn("_sp_id", row_key)
+            .select("_sp_id", F.col(order_col).alias("_sp_ord"),
+                    "extracted_text")
+            .filter(F.col("extracted_text").isNotNull())
+            .dropDuplicates(["_sp_id"]),
+            id_col="_sp_id", text_col="extracted_text",
+            k=profile.span_k, min_count=profile.span_min_count,
+            key_fn=lambda c: F.xxhash64(c), order_col="_sp_ord",
+        ).select("_sp_id", F.col("cleaned_text").alias("_sp_text"),
+                 "removed_token_count")
+        df = (
+            df.withColumn("_sp_id", row_key)
+            .join(span_cleaned, on="_sp_id", how="left")
+            .withColumn(
+                "extracted_text",
+                F.when(F.col("extracted_text").isNotNull(),
+                       F.coalesce(F.col("_sp_text"),
+                                  F.col("extracted_text")))
+                .otherwise(F.col("extracted_text")))
+            .drop("_sp_id", "_sp_text", "removed_token_count")
         )
 
     # narrow JVM exprs over the (possibly cleaned) extraction — keep/drop

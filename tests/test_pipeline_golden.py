@@ -415,3 +415,49 @@ def test_repeated_paragraph_rule_fires_where_lines_do_not(spark):
     assert "repeated_lines" not in a["rules"]
     assert a["repeated_paragraph_frac"] > 0.3
     assert out["https://b.example/q"]["repeated_paragraph_frac"] == 0.0
+
+
+def test_span_removal_in_pipeline(spark):
+    """profile.span_removal strips later occurrences of a copied >=K-token
+    run inside the main visit: the earliest carrier keeps its text, later
+    carriers lose exactly the copied tokens, untouched docs keep
+    byte-identical artifacts vs the flag-off run."""
+    from dataclasses import replace
+
+    from cfht2caom2_spark.config import RuleProfile
+
+    def filler(tag):
+        return " ".join(f"{tag}{i} plainword{i}" for i in range(15))
+
+    copied = ("this exact syndicated paragraph appears verbatim in many "
+              "places across the crawl with plenty of tokens to span")
+    pages = _mk_pages(spark, [
+        ("https://orig.example/a", 0, f"{filler('aa')} {copied}"),
+        ("https://copy1.example/b", 10, f"{copied} {filler('bb')}"),
+        ("https://copy2.example/c", 20, f"{filler('cc')} {copied} end"),
+        ("https://solo.example/d", 30, filler("dd") + " completely separate"),
+    ])
+    # gates opened wide: this test pins the span-removal plumbing, and the
+    # synthetic filler is deliberately not natural language
+    prof = RuleProfile(
+        span_removal=True, span_k=8, min_words=2,
+        min_stopword_frac=0.0, min_mean_word_len=0.0,
+        max_mean_word_len=100.0, min_alpha_word_frac=0.0,
+        min_lang_conf=0.0, max_perplexity=float("inf"),
+        allowed_langs=("en", "fr", "de", "es", "zh", "und"))
+    on = {r["url"]: r for r in build_pipeline(
+        pages, spark, profile=prof, dedupe=False, has_html=False).collect()}
+    off = {r["url"]: r for r in build_pipeline(
+        pages, spark, profile=replace(prof, span_removal=False),
+        dedupe=False, has_html=False).collect()}
+    assert set(on) == set(off) and len(on) == 4
+    # earliest carrier (lowest warc_ts) keeps the copied run
+    assert copied in on["https://orig.example/a"]["scrubbed_text"]
+    # later carriers lose it (stats/scrub see the cleaned text)
+    assert copied not in (on["https://copy1.example/b"]["scrubbed_text"] or "")
+    assert copied not in (on["https://copy2.example/c"]["scrubbed_text"] or "")
+    assert on["https://copy1.example/b"]["n_words"] < \
+        off["https://copy1.example/b"]["n_words"]
+    # untouched doc byte-identical to the flag-off run
+    assert on["https://solo.example/d"]["scrubbed_text"] == \
+        off["https://solo.example/d"]["scrubbed_text"]

@@ -79,7 +79,7 @@ def test_dedup_loser_join_has_no_mandatory_broadcast(spark):
     full = build_pipeline(
         synth_pages(spark, 200), spark, dedupe=True,
         profile=replace(DEFAULT_PROFILE, host_lang_backfill=True,
-                        boilerplate_removal=True))
+                        boilerplate_removal=True, span_removal=True))
     assert "ResolvedHint" not in \
         full._jdf.queryExecution().analyzed().toString()
 
