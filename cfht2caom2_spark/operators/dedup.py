@@ -294,7 +294,37 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return moved.union(centers).distinct()
 
 
-def connected_components(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
+def _cc_driver_small(spark, edges: DataFrame) -> DataFrame:
+    """Union-find over a BOUNDED collected edge set (the small-graph branch
+    of connected_components; see its call site for the size argument).
+    Same output contract: (node, component=min node id), pairs-nodes only."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:        # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.collect():
+        a, b = r["src"], r["dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so the root IS the component label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    schema = edges.select(F.col("src").alias("node"),
+                          F.col("dst").alias("component")).schema
+    return spark.createDataFrame(rows, schema)
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 10,
+                         small_graph_threshold: int = 100_000) -> DataFrame:
     """Transitive closure of near-dup pairs at scale: alternating large-star /
     small-star contraction (Kiveris et al. 2014).  Converges to a star forest
     in O(log n) rounds w.h.p.; every round is two shuffles over the EDGE set
@@ -317,6 +347,14 @@ def connected_components(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
 
     Returns (node, component) with component = min node id of the cluster;
     nodes absent from ``pairs`` (singletons) are not returned.
+
+    Adaptive branch: when the materialized edge count is <=
+    ``small_graph_threshold`` (default 100k edges ≈ 1.6 MB — strictly
+    bounded driver memory), a driver-side union-find replaces the
+    iteration: each star round costs ~4 fixed Spark jobs, pure scheduling
+    overhead at that size.  Identical labeling (paths-agree test); the
+    star contraction below remains the scale path and every algorithmic
+    test pins it via ``small_graph_threshold=0``.
     """
     edges = pairs.select(
         F.greatest("id_a", "id_b").alias("src"),
@@ -329,6 +367,17 @@ def connected_components(pairs: DataFrame, max_rounds: int = 10) -> DataFrame:
     # per-round probe scans; post-shuffle task counts remain AQE-decided
     # (coalescePartitions only shrinks to default parallelism).
     n_edges = edges.count()
+    if n_edges <= small_graph_threshold:
+        # adaptive small-graph path (the AQE-broadcast analogue, decided
+        # from the MEASURED edge count, which is already on the driver):
+        # each star round costs a fixed ~4 Spark jobs (contract + checkpoint
+        # + 2 convergence probes) — pure scheduling overhead when the edge
+        # set is a few thousand rows.  A bounded driver-side union-find
+        # (<= threshold * 16 B, default ~1.6 MB) produces the identical
+        # (node, min-id component) labeling in one collect.  The iterative
+        # path below remains THE scale path; equivalence is pinned by
+        # tests/test_operators.py::test_connected_components_paths_agree.
+        return _cc_driver_small(pairs.sparkSession, edges)
     # defaultParallelism as the ceiling, not edges.rdd.getNumPartitions():
     # the .rdd handle would force a DF->RDD conversion just to read a number
     cur = edges.sparkSession.sparkContext.defaultParallelism

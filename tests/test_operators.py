@@ -182,7 +182,7 @@ def test_connected_components_two_root_counterexample(spark):
 
     pairs = spark.createDataFrame(
         [(1, 7), (3, 7), (3, 8), (2, 8)], "id_a bigint, id_b bigint")
-    comp = connected_components(pairs).collect()
+    comp = connected_components(pairs, small_graph_threshold=0).collect()
     labels = {}
     for r in comp:
         assert r["node"] not in labels, f"duplicate label for {r['node']}"
@@ -227,7 +227,7 @@ def test_connected_components_star_contraction_random_graph(spark):
 
     df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
     got = {r["node"]: r["component"]
-           for r in connected_components(df).collect()}
+           for r in connected_components(df, small_graph_threshold=0).collect()}
     assert got == golden
 
 
@@ -623,3 +623,23 @@ def test_remove_repeated_spans_all_removed_and_case(spark):
     assert out[1]["removed_token_count"] == 0
     assert out[1]["cleaned_text"] == f"Prefix words here {run}"
     assert out[2]["cleaned_text"] == "" and out[2]["removed_token_count"] == 8
+
+
+def test_connected_components_paths_agree(spark):
+    """The adaptive small-graph driver path (union-find) and the
+    star-contraction scale path must produce identical labelings on the
+    shapes the counterexample/random tests guard."""
+    import random
+
+    from cfht2caom2_spark.operators.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(100), rng.randrange(100)) for _ in range(120)]
+    edges += [(1, 7), (3, 7), (3, 8), (2, 8)]       # the two-root shape
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    small = {(r["node"], r["component"]) for r in
+             connected_components(df).collect()}            # driver path
+    star = {(r["node"], r["component"]) for r in
+            connected_components(df, small_graph_threshold=0).collect()}
+    assert small == star
