@@ -332,9 +332,17 @@ def run_scaling_exec(n_rows: int = 1_000_000, n_windows: int = 3,
 
     # disjoint per-child core ranges: baseline gets cores 0..cores-1, fan
     # child i gets i*cores..(i+1)*cores-1 — every "executor" is a real
-    # hard-capped N-core unit (see _pin), like a cluster cgroup
-    base_cpuset = f"0-{cores - 1}"
-    fan_cpusets = [f"{i * cores}-{(i + 1) * cores - 1}" for i in range(fan)]
+    # hard-capped N-core unit (see _pin), like a cluster cgroup.  Hosts
+    # with fewer than fan*cores CPUs cannot host disjoint sets: fall back
+    # to unpinned (recorded) instead of crashing every child on taskset.
+    if (os.cpu_count() or 0) >= fan * cores:
+        base_cpuset = f"0-{cores - 1}"
+        fan_cpusets = [f"{i * cores}-{(i + 1) * cores - 1}"
+                       for i in range(fan)]
+    else:
+        print(json.dumps({"note": f"host has {os.cpu_count()} CPUs < "
+                                  f"{fan * cores}; children run UNPINNED"}))
+        base_cpuset, fan_cpusets = None, None
 
     windows: list[dict] = []
     n_clean = 0
@@ -524,15 +532,18 @@ def run_scaling(n_rows: int = 320_000, n_windows: int = 3) -> None:
             # taskset-pinned (round 4, see _pin): an unpinned local[N] JVM
             # soaks idle host cores through GC/JIT helper threads, which
             # flatters the SMALL-core side and understates N->4N efficiency
-            results[cores] = _run_child(cores, pages_path,
-                                        cpuset=f"0-{cores - 1}")
+            cpuset = (f"0-{cores - 1}"
+                      if cores <= (os.cpu_count() or 0) else None)
+            results[cores] = _run_child(cores, pages_path, cpuset=cpuset)
             print(json.dumps({"window": w, **results[cores]}))
         thr = {c: results[c]["docs_per_sec"] for c in core_counts}
         win = {"window": w, "throughput": {str(c): thr[c] for c in core_counts},
                "host_steal_pct": {str(c): results[c].get("host_steal_pct")
                                   for c in core_counts}}
         for a, b in pairs:
-            win[f"eff_{a}->{b}"] = round((thr[b] / thr[a]) / 4, 3)
+            # normalize by the pair's ACTUAL core ratio, not a constant:
+            # SPARK_GRAFT_SCALE_PAIRS accepts any a:b (2:4, 8:16, ...)
+            win[f"eff_{a}->{b}"] = round((thr[b] / thr[a]) / (b / a), 3)
         windows.append(win)
         print(json.dumps(win))
 

@@ -26,6 +26,10 @@ scalable recast is window-hash voting):
      overlapping [p, p+K-1] windows into maximal spans (gaps-and-islands,
      O(marks) per doc, no further shuffle).
 
+Steps 2-5 are shared by the summary (``repeated_spans``) and the removal
+(``remove_repeated_spans``) through ``_span_intervals`` — one fold, one
+merge rule, impossible for the two surfaces to drift apart.
+
 A span of duplicated text of length L >= K produces L-K+1 consecutive
 marked windows that merge back into exactly one [start, end] interval, so
 the output is independent of how the span was tiled.
@@ -47,13 +51,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _tokens(text: Column, lower: bool = True) -> Column:
+    """Whitespace tokens, empties removed; NULL text -> empty array (so
+    every downstream size() is 0, never -1/NULL — the oracle twins
+    coalesce identically)."""
+    t = F.coalesce(text, F.lit(""))
+    if lower:
+        t = F.lower(t)
+    return F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != F.lit(""))
+
+
 def window_keys(text: Column, k: int) -> Column:
     """All K-token window strings of ``text`` in position order (NOT
     distinct — position i of the array is the window starting at token i).
     Lower-cased whitespace tokens, matching operators.dedup.word_shingles;
     docs with < k tokens yield an empty array (no window is a full K-run)."""
-    toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"),
-                    lambda t: t != F.lit(""))
+    toks = _tokens(text)
     n = F.size(toks)
     win = F.greatest(n - (k - 1), F.lit(1))
     sh = F.slice(toks, 1, win)
@@ -62,6 +75,70 @@ def window_keys(text: Column, k: int) -> Column:
                         lambda a, b: F.concat_ws(" ", a, b))
     return F.when(n >= k, sh).otherwise(
         F.array().cast("array<string>"))
+
+
+def _span_intervals(stream: DataFrame, id_col: str, k: int,
+                    min_count: int, exempt_first: bool) -> DataFrame:
+    """(id, [_ord,] pos, _k) stream -> (id, _spans array<struct<s,e>>):
+    the merged maximal duplicated intervals per doc.  ``exempt_first``
+    excludes each key's first occurrence — ordered by (_ord, id, pos) —
+    from marking (the keep-one removal semantics); the summary treats
+    every occurrence of a duplicated key as duplicated."""
+    if exempt_first:
+        key_stats = (
+            stream.groupBy("_k")
+            .agg(F.count(F.lit(1)).alias("_c"),
+                 F.min_by(F.struct(F.col(id_col).alias("i"),
+                                   F.col("pos").alias("p")),
+                          F.struct("_ord", id_col, "pos")).alias("_first"))
+            .filter(F.col("_c") >= min_count)
+            .select("_k", "_first")
+        )
+        marked = (
+            stream.join(key_stats, on="_k", how="inner")
+            .filter(~((F.col(id_col) == F.col("_first.i"))
+                      & (F.col("pos") == F.col("_first.p"))))
+        )
+    else:
+        dup_keys = (stream.groupBy("_k")
+                    .agg(F.count(F.lit(1)).alias("_c"))
+                    .filter(F.col("_c") >= min_count)
+                    .select("_k"))
+        marked = stream.join(dup_keys, on="_k", how="inner")
+
+    marks = (marked.groupBy(id_col)
+             .agg(F.array_sort(F.collect_list("pos")).alias("_marks")))
+
+    # gaps-and-islands fold: merge overlapping/adjacent [p, p+K-1] windows
+    # into maximal intervals.  state = (open_start, open_end, closed array);
+    # finish flushes the open interval.  -1 sentinels = "none open yet".
+    empty_spans = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    init = F.struct(F.lit(-1).cast("bigint").alias("s"),
+                    F.lit(-1).cast("bigint").alias("e"),
+                    empty_spans.alias("arr"))
+
+    def step(acc, p):
+        w_end = p + F.lit(k - 1)
+        extend = p <= acc["e"] + 1
+        closed = F.array(F.struct(acc["s"].alias("s"), acc["e"].alias("e")))
+        return F.struct(
+            F.when(acc["s"] < 0, p)
+            .when(extend, acc["s"]).otherwise(p).alias("s"),
+            F.when(acc["s"] < 0, w_end)
+            .when(extend, F.greatest(acc["e"], w_end))
+            .otherwise(w_end).alias("e"),
+            F.when((acc["s"] >= 0) & ~extend,
+                   F.concat(acc["arr"], closed))
+            .otherwise(acc["arr"]).alias("arr"),
+        )
+
+    def finish(acc):
+        last = F.array(F.struct(acc["s"].alias("s"), acc["e"].alias("e")))
+        return F.when(acc["s"] >= 0, F.concat(acc["arr"], last)) \
+            .otherwise(acc["arr"])
+
+    return marks.select(
+        id_col, F.aggregate("_marks", init, step, finish).alias("_spans"))
 
 
 def repeated_spans(docs: DataFrame, id_col: str = "doc_id",
@@ -79,66 +156,28 @@ def repeated_spans(docs: DataFrame, id_col: str = "doc_id",
     keys = window_keys(F.col(text_col), k)
     if key_fn is not None:
         keys = F.transform(keys, key_fn)
-    toks_n = F.size(F.filter(F.split(F.lower(F.trim(F.col(text_col))),
-                                     r"\s+"), lambda t: t != F.lit("")))
-    base = docs.select(F.col(id_col), toks_n.alias("n_tokens"),
-                       keys.alias("_keys"))
+    base = docs.select(
+        F.col(id_col),
+        F.size(_tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+        keys.alias("_keys"))
 
     stream = base.select(id_col, F.posexplode("_keys").alias("pos", "_k"))
-    dup_keys = (stream.groupBy("_k")
-                .agg(F.count(F.lit(1)).alias("_c"))
-                .filter(F.col("_c") >= min_count)
-                .select("_k"))
-    marks = (stream.join(dup_keys, on="_k", how="inner")
-             .groupBy(id_col)
-             .agg(F.array_sort(F.collect_list("pos")).alias("_marks")))
+    spans = _span_intervals(stream, id_col, k, min_count,
+                            exempt_first=False)
 
-    # gaps-and-islands fold: merge overlapping/adjacent [p, p+K-1] windows.
-    # state = (cur_start, cur_end, spans_closed, tokens_closed); finish
-    # flushes the open interval.  -1 sentinels = "no interval open yet".
-    zero = F.lit(0).cast("bigint")
-    init = F.struct(F.lit(-1).cast("bigint").alias("s"),
-                    F.lit(-1).cast("bigint").alias("e"),
-                    zero.alias("ns"), zero.alias("nt"))
-
-    def step(acc, p):
-        w_end = p + F.lit(k - 1)
-        extend = p <= acc["e"] + 1
-        return F.struct(
-            F.when(acc["s"] < 0, p)
-            .when(extend, acc["s"]).otherwise(p).alias("s"),
-            F.when(acc["s"] < 0, w_end)
-            .when(extend, F.greatest(acc["e"], w_end))
-            .otherwise(w_end).alias("e"),
-            F.when((acc["s"] >= 0) & ~extend, acc["ns"] + 1)
-            .otherwise(acc["ns"]).alias("ns"),
-            F.when((acc["s"] >= 0) & ~extend,
-                   acc["nt"] + acc["e"] - acc["s"] + 1)
-            .otherwise(acc["nt"]).alias("nt"),
-        )
-
-    def finish(acc):
-        return F.struct(
-            F.when(acc["s"] >= 0, acc["ns"] + 1).otherwise(acc["ns"])
-            .alias("n_spans"),
-            F.when(acc["s"] >= 0, acc["nt"] + acc["e"] - acc["s"] + 1)
-            .otherwise(acc["nt"]).alias("dup_token_count"),
-        )
-
-    folded = marks.select(
-        id_col, F.aggregate("_marks", init, step, finish).alias("_f"))
-
+    # counts derive from the interval array — same fold as the removal path
+    n_spans = F.size("_spans").cast("bigint")
+    dup_tokens = F.aggregate(
+        "_spans", F.lit(0).cast("bigint"),
+        lambda a, s: a + s["e"] - s["s"] + 1)
     return (
         base.select(id_col, "n_tokens")
-        .join(folded, on=id_col, how="left")
+        .join(spans, on=id_col, how="left")
         .select(
-            id_col,
-            F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            F.coalesce(F.col("_f.n_spans"), F.lit(0)).cast("bigint")
-            .alias("n_spans"),
-            F.coalesce(F.col("_f.dup_token_count"), F.lit(0)).cast("bigint")
-            .alias("dup_token_count"),
-            (F.coalesce(F.col("_f.dup_token_count"), F.lit(0)).cast("double")
+            id_col, "n_tokens",
+            F.coalesce(n_spans, F.lit(0)).alias("n_spans"),
+            F.coalesce(dup_tokens, F.lit(0)).alias("dup_token_count"),
+            (F.coalesce(dup_tokens, F.lit(0)).cast("double")
              / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"))
             .alias("dup_token_frac"),
         )
@@ -170,60 +209,14 @@ def remove_repeated_spans(docs: DataFrame, id_col: str = "doc_id",
         keys = F.transform(keys, key_fn)
     # ORIGINAL-case tokens for reconstruction (keys lower-case only for
     # matching; lower() never changes whitespace, so indices line up)
-    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
-                    lambda t: t != F.lit(""))
     base = docs.select(F.col(id_col), F.col(text_col),
-                       ord_expr.alias("_ord"), toks.alias("_toks"),
+                       ord_expr.alias("_ord"),
+                       _tokens(F.col(text_col), lower=False).alias("_toks"),
                        keys.alias("_keys"))
 
     stream = base.select(id_col, "_ord",
                          F.posexplode("_keys").alias("pos", "_k"))
-    key_stats = (
-        stream.groupBy("_k")
-        .agg(F.count(F.lit(1)).alias("_c"),
-             F.min_by(F.struct(F.col(id_col).alias("i"),
-                               F.col("pos").alias("p")),
-                      F.struct("_ord", id_col, "pos")).alias("_first"))
-        .filter(F.col("_c") >= min_count)
-        .select("_k", "_first")
-    )
-    marks = (
-        stream.join(key_stats, on="_k", how="inner")
-        .filter(~((F.col(id_col) == F.col("_first.i"))
-                  & (F.col("pos") == F.col("_first.p"))))
-        .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list("pos")).alias("_marks"))
-    )
-
-    # same gaps-and-islands fold as repeated_spans, but emitting the span
-    # ARRAY so the removal filter can test token coverage
-    empty_spans = F.array().cast("array<struct<s:bigint,e:bigint>>")
-    init = F.struct(F.lit(-1).cast("bigint").alias("s"),
-                    F.lit(-1).cast("bigint").alias("e"),
-                    empty_spans.alias("arr"))
-
-    def step(acc, p):
-        w_end = p + F.lit(k - 1)
-        extend = p <= acc["e"] + 1
-        closed = F.array(F.struct(acc["s"].alias("s"), acc["e"].alias("e")))
-        return F.struct(
-            F.when(acc["s"] < 0, p)
-            .when(extend, acc["s"]).otherwise(p).alias("s"),
-            F.when(acc["s"] < 0, w_end)
-            .when(extend, F.greatest(acc["e"], w_end))
-            .otherwise(w_end).alias("e"),
-            F.when((acc["s"] >= 0) & ~extend,
-                   F.concat(acc["arr"], closed))
-            .otherwise(acc["arr"]).alias("arr"),
-        )
-
-    def finish(acc):
-        last = F.array(F.struct(acc["s"].alias("s"), acc["e"].alias("e")))
-        return F.when(acc["s"] >= 0, F.concat(acc["arr"], last)) \
-            .otherwise(acc["arr"])
-
-    spans = marks.select(
-        id_col, F.aggregate("_marks", init, step, finish).alias("_spans"))
+    spans = _span_intervals(stream, id_col, k, min_count, exempt_first=True)
 
     joined = base.join(spans, on=id_col, how="left")
     sp = F.col("_spans")

@@ -1585,7 +1585,8 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_REPEATED_SPANS_SQL = f"""
 WITH t AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))),
+                                           '\\s+'),
                      x -> x <> '') AS toks
   FROM documents
 ),

@@ -277,8 +277,13 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
 
         row_key = _row_key(id_col, order_col)
         contaminated_ids = decontaminate(
+            # dropDuplicates: identical re-crawls share the sha-folded key;
+            # without it both rows' grams enter the overlap groupBy and a
+            # doc with n true overlaps counts 2n — pushing clean docs over
+            # min_overlap (decontaminate's docstring requires unique ids)
             df.select(row_key.alias("_dc_id"), "extracted_text")
-            .filter(F.col("extracted_text").isNotNull()),
+            .filter(F.col("extracted_text").isNotNull())
+            .dropDuplicates(["_dc_id"]),
             benchmark.select(
                 F.col(benchmark_text_col).alias("extracted_text")),
             id_col="_dc_id", text_col="extracted_text",

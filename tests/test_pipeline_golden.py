@@ -461,3 +461,29 @@ def test_span_removal_in_pipeline(spark):
     # untouched doc byte-identical to the flag-off run
     assert on["https://solo.example/d"]["scrubbed_text"] == \
         off["https://solo.example/d"]["scrubbed_text"]
+
+
+def test_decontam_duplicate_rows_do_not_double_overlap(spark):
+    """Round-4 self-review: identical re-crawls share the sha-folded key;
+    without input dedup both rows' grams enter the overlap count and a doc
+    with n true overlaps counts 2n — here 3 shared 3-grams (< min_overlap
+    5) must stay clean even though the page arrived twice."""
+    from dataclasses import replace
+
+    from cfht2caom2_spark.config import DEFAULT_PROFILE
+
+    shared = "omega psi chi phi upsilon"        # 5 tokens -> 3 distinct 3-grams
+    doc = f"{_CLEAN_A} {shared}"
+    pages = _mk_pages(spark, [
+        ("https://dup.example/a", 0, doc),
+        ("https://dup.example/a", 0, doc),      # identical re-crawl
+    ])
+    bench = spark.createDataFrame(
+        [(f"{shared} totally unrelated benchmark filler words",)],
+        "text string")
+    prof = replace(DEFAULT_PROFILE, decontam_k=3, decontam_min_overlap=5)
+    out = build_pipeline(pages, spark, profile=prof, dedupe=False,
+                         has_html=False, benchmark=bench).collect()
+    assert len(out) == 2
+    for r in out:
+        assert "contaminated" not in r["rules"], r["rules"]
