@@ -68,3 +68,112 @@ def test_frame_sample_plan(media):
     frames = frame_sample_plan(media, every_ms=1000).collect()
     # 3500 ms video sampled at 1000 ms -> ts 0,1000,2000,3000
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+# --- builtin backend: REAL decode of self-describing formats ---------------
+
+def _make_ppm(w, h):
+    """P6 with a horizontal gradient (pure python)."""
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = (x * 255) // max(w - 1, 1)
+            px += bytes((v, v, v))
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + bytes(px)
+
+
+def _make_bmp(w, h):
+    """24-bit BI_RGB bottom-up BMP, vertical gradient, row padding."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    data = bytearray()
+    for y in range(h - 1, -1, -1):              # bottom-up storage
+        row = bytearray()
+        v = (y * 255) // max(h - 1, 1)
+        for x in range(w):
+            row += bytes((v, v, v))             # BGR
+        row += b"\0" * (stride - len(row))
+        data += row
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    return header + info + bytes(data)
+
+
+def _make_wav(n=1600, rate=8000):
+    """PCM16 mono sine burst via stdlib wave."""
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        frames = b"".join(
+            struct.pack("<h", int(20000 * math.sin(2 * math.pi * 440 * i / rate)))
+            for i in range(n))
+        wf.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_builtin_decoders_shapes_and_values():
+    """Pure-kernel check: PPM/BMP decode to the declared grayscale grid with
+    the planted gradients; WAV decodes to a [-1,1) mono waveform."""
+    import numpy as np
+
+    from cfht2caom2_spark.multimodal import _decode_builtin
+
+    img = _decode_builtin(_make_ppm(32, 8), "image")
+    assert img.shape == (8, 32) and img.dtype == np.uint8
+    assert img[0, 0] < 5 and img[0, -1] > 250          # horizontal gradient
+    bmp = _decode_builtin(_make_bmp(17, 9), "image")   # odd width -> padding
+    assert bmp.shape == (9, 17)
+    assert bmp[0, 0] < 5 and bmp[-1, 0] > 250          # top-down after unflip
+    wav = _decode_builtin(_make_wav(), "audio")
+    assert wav.shape == (1600,) and abs(wav).max() <= 1.0
+    assert abs(wav).max() > 0.5                        # the sine is there
+
+
+def test_builtin_backend_features_and_resize(spark):
+    """End-to-end through the Arrow stages: real decode -> real features
+    (content-derived, not hash-derived) and real bilinear resize of a real
+    BMP, all with no imaging library in the container."""
+    import numpy as np
+
+    from cfht2caom2_spark.multimodal import (_fake_features, extract_features,
+                                             resize_images)
+
+    rows = [
+        (1, "image", _make_ppm(32, 8),
+         {"mime": "image/x-portable-pixmap", "width": 32, "height": 8,
+          "duration_ms": None}),
+        (2, "image", _make_bmp(16, 16),
+         {"mime": "image/bmp", "width": 16, "height": 16,
+          "duration_ms": None}),
+        (3, "audio", _make_wav(),
+         {"mime": "audio/wav", "width": None, "height": None,
+          "duration_ms": 200}),
+        (4, "image", None, None),                      # null passthrough
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["feature"] for r in
+             extract_features(df, decode_backend="builtin").collect()}
+    assert feats[4] is None
+    for mid in (1, 2, 3):
+        assert len(feats[mid]) == FEATURE_DIM
+    # image features are a normalized histogram (sums to ~1), audio is RMS
+    assert abs(sum(feats[1]) - 1.0) < 1e-5
+    assert all(v >= 0 for v in feats[3]) and max(feats[3]) > 0.3
+    # content-derived, not the fake hash head
+    assert feats[2] != list(_fake_features(_make_bmp(16, 16)))
+
+    resized = {r["media_id"]: r for r in resize_images(
+        df, 8, 8, decode_backend="builtin").collect()}
+    assert resized[1]["meta"]["width"] == 8 and resized[1]["meta"]["height"] == 8
+    px = np.frombuffer(resized[1]["payload"], dtype=np.uint8).reshape(8, 8)
+    assert px[0, 0] < px[0, -1]                        # gradient survives
+    assert resized[3]["payload"] == _make_wav()        # non-image untouched
