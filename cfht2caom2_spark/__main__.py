@@ -74,6 +74,14 @@ def main(argv: list[str] | None = None) -> int:
                    help='JSON lang -> keep rate, e.g. \'{"en":0.6,"zh":0.2}\'')
     m.add_argument("--default-rate", type=float, default=0.0)
 
+    tq = sub.add_parser("train-quality",
+                        help="fit quality-score weights (LR over the six "
+                             "score features) from a decisions store; "
+                             "prints the weight JSON for --quality-weights "
+                             "style reuse")
+    tq.add_argument("--decisions", required=True,
+                    help="decisions parquet dir")
+
     g = sub.add_parser("synth", help="generate a synthetic pages table")
     g.add_argument("--out", required=True)
     g.add_argument("--rows", type=int, default=100_000)
@@ -129,6 +137,11 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(assemble_mixture(
             spark, args.decisions, args.out,
             rates=json.loads(args.rates), default_rate=args.default_rate)))
+    elif args.mode == "train-quality":
+        from .functions.quality import train_quality_weights
+
+        decisions = spark.read.parquet(args.decisions)
+        print(json.dumps(train_quality_weights(decisions)))
     elif args.mode == "compact":
         from .operators.compact import compact_decisions
 

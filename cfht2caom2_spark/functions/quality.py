@@ -191,8 +191,9 @@ QUALITY_WEIGHTS = {
 def quality_score(n_words_c: Column, mean_word_len_c: Column,
                   symbol_ratio_c: Column, stopword_frac_c: Column,
                   alpha_word_frac_c: Column,
-                  repeated_line_frac_c: Column) -> Column:
-    w = QUALITY_WEIGHTS
+                  repeated_line_frac_c: Column,
+                  weights: dict[str, float] | None = None) -> Column:
+    w = weights or QUALITY_WEIGHTS
     z = (F.lit(w["bias"])
          + F.lit(w["sqrt_n_words"]) * F.sqrt(n_words_c.cast("double"))
          + F.lit(w["stopword_frac"]) * stopword_frac_c
@@ -204,10 +205,58 @@ def quality_score(n_words_c: Column, mean_word_len_c: Column,
     return F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
 
 
-def with_quality_score(df: DataFrame) -> DataFrame:
+def with_quality_score(df: DataFrame,
+                       weights: dict[str, float] | None = None) -> DataFrame:
     """Append ``quality_score`` from the stat columns (with_quality_stats
-    must have run).  Null stats (empty payload) propagate to a null score."""
+    must have run).  Null stats (empty payload) propagate to a null score.
+    ``weights``: a trained vector from ``train_quality_weights`` drops in
+    here; None keeps the documented placeholder weights."""
     return df.withColumn("quality_score", quality_score(
         F.col("n_words"), F.col("mean_word_len"), F.col("symbol_ratio"),
         F.col("stopword_frac"), F.col("alpha_word_frac"),
-        F.col("repeated_line_frac")))
+        F.col("repeated_line_frac"), weights=weights))
+
+
+def train_quality_weights(decisions: DataFrame,
+                          label_col: str = "keep",
+                          max_iter: int = 50,
+                          reg_param: float = 0.0) -> dict[str, float]:
+    """Fit the promised trained classifier for the quality score: a Spark ML
+    logistic regression over the SAME six features ``quality_score``
+    consumes, returned as a QUALITY_WEIGHTS-shaped dict so it drops
+    straight into ``with_quality_score(weights=...)`` with no plan change
+    (the DCLM/FineWeb recipe — train on labeled keep/drop decisions, score
+    the corpus, mix by score bucket; operators/sampling.py).
+
+    Input: any frame with the stat columns + a boolean label (a decisions
+    store read works as-is).  Rows with null stats (empty payloads) are
+    excluded — they carry no trainable signal and the pipeline gates them
+    deterministically anyway.  Training is JVM-side (pyspark.ml), one pass
+    shape: assemble -> L-BFGS; fine at corpus scale (each iteration is one
+    map-reduce over the slim feature projection).
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    feats = ["sqrt_n_words", "stopword_frac", "alpha_word_frac",
+             "symbol_ratio", "repeated_line_frac", "mean_word_len_dev"]
+    prepared = (
+        decisions
+        .filter(F.col("n_words").isNotNull()
+                & F.col(label_col).isNotNull())
+        .select(
+            F.sqrt(F.col("n_words").cast("double")).alias("sqrt_n_words"),
+            "stopword_frac", "alpha_word_frac", "symbol_ratio",
+            "repeated_line_frac",
+            F.abs(F.col("mean_word_len") - F.lit(5.0))
+            .alias("mean_word_len_dev"),
+            F.col(label_col).cast("double").alias("label"),
+        )
+    )
+    assembled = VectorAssembler(inputCols=feats, outputCol="features") \
+        .transform(prepared)
+    model = LogisticRegression(maxIter=max_iter, regParam=reg_param) \
+        .fit(assembled)
+    out = {"bias": float(model.intercept)}
+    out.update({name: float(c) for name, c in zip(feats, model.coefficients)})
+    return out

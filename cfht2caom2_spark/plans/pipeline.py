@@ -71,7 +71,8 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
                    persist_tracker: list | None = None,
                    eager_persist: bool = True,
                    benchmark: DataFrame | None = None,
-                   benchmark_text_col: str = "text") -> DataFrame:
+                   benchmark_text_col: str = "text",
+                   quality_weights: dict | None = None) -> DataFrame:
     """Pure plan builder: pages -> decisions.  Imported by batch main,
     streaming foreachBatch, pytest, and the driver entry — the same plan runs
     everywhere (the reference's SCRAPE-mode purity, SURVEY.md §3.3).
@@ -217,8 +218,9 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
     # (measured +23% job wall at 1M rows)
     df = with_quality_stats(df, text_col="extracted_text", lang_col="lang_pred")
     # continuous quality signal for downstream mixing (rides the same
-    # narrow projection; sampling by score bucket happens at read time)
-    df = with_quality_score(df)
+    # narrow projection; sampling by score bucket happens at read time);
+    # quality_weights: a train_quality_weights vector drops in here
+    df = with_quality_score(df, weights=quality_weights)
     # scrub_rules attributes every mutation the scrub chain made to the
     # stored artifact (the reference records repairs rather than applying
     # them silently, instruments.py:222-266); it rides the same narrow

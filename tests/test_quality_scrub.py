@@ -142,3 +142,37 @@ def test_quality_score_bounds_and_monotonicity(spark):
     assert out[1] > out[2]          # symbol soup penalized
     assert out[1] > out[3]          # repetition penalized
     assert out[4] is None           # null payload -> null score
+
+
+def test_train_quality_weights_separates_and_drops_in(spark):
+    """The promised trained-classifier path: LR over the six score features
+    on a decisions frame returns a QUALITY_WEIGHTS-shaped dict that drops
+    into with_quality_score and ranks kept docs above dropped ones."""
+    from cfht2caom2_spark.functions.quality import (QUALITY_WEIGHTS,
+                                                    train_quality_weights,
+                                                    with_quality_score)
+    from cfht2caom2_spark.plans.pipeline import build_pipeline
+    from cfht2caom2_spark.sources.pages import synth_pages
+
+    decisions = build_pipeline(synth_pages(spark, 600), spark,
+                               dedupe=False).cache()
+    w = train_quality_weights(decisions)
+    assert set(w) == set(QUALITY_WEIGHTS)
+    assert all(isinstance(v, float) for v in w.values())
+
+    scored = with_quality_score(
+        decisions.drop("quality_score"), weights=w).select(
+        "keep", "quality_score").filter("quality_score IS NOT NULL")
+    rows = scored.collect()
+    kept = sorted(r["quality_score"] for r in rows if r["keep"])
+    dropped = sorted(r["quality_score"] for r in rows if not r["keep"])
+    assert kept and dropped
+    assert all(0.0 < s < 1.0 for s in kept + dropped)
+    # ranking AUC via midrank-free count (ties broken conservatively):
+    # keep depends partly on model features outside the six stats, so
+    # demand clear separation, not perfection
+    import bisect
+    wins = sum(bisect.bisect_left(dropped, s) for s in kept)
+    auc = wins / (len(kept) * len(dropped))
+    assert auc > 0.75, auc
+    decisions.unpersist()
