@@ -42,6 +42,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="strip cross-document boilerplate lines "
                         "(trimmed line in >= 3 distinct docs) before "
                         "stats + scrub")
+    b.add_argument("--quality-weights", default=None,
+                   help="quality-score weight JSON (inline, or @path to a "
+                        "file) as produced by the train-quality mode; "
+                        "default keeps the built-in weights")
     b.add_argument("--span-dedup", action="store_true",
                    help="ExactSubstr keep-one span removal: strip later "
                         "occurrences of >=50-token runs (operators/spans.py)")
@@ -77,8 +81,8 @@ def main(argv: list[str] | None = None) -> int:
     tq = sub.add_parser("train-quality",
                         help="fit quality-score weights (LR over the six "
                              "score features) from a decisions store; "
-                             "prints the weight JSON for --quality-weights "
-                             "style reuse")
+                             "prints the weight JSON that batch mode "
+                             "accepts via --quality-weights")
     tq.add_argument("--decisions", required=True,
                     help="decisions parquet dir")
 
@@ -110,12 +114,20 @@ def main(argv: list[str] | None = None) -> int:
                           span_removal=args.span_dedup)
         benchmark = (spark.read.parquet(args.benchmark)
                      if args.benchmark else None)
+        qw = None
+        if args.quality_weights:
+            if args.quality_weights.startswith("@"):
+                with open(args.quality_weights[1:]) as fh:
+                    qw = json.load(fh)
+            else:
+                qw = json.loads(args.quality_weights)
         result = run_batch(spark, pages, args.out, profile=profile,
                            snapshot_id=args.snapshot_id,
                            resume=not args.no_resume,
                            dedupe=not args.no_dedupe,
                            previews=not args.no_previews,
-                           benchmark=benchmark)
+                           benchmark=benchmark,
+                           quality_weights=qw)
         print(json.dumps(result))
     elif args.mode == "state":
         from .sources.table import SnapshotTable

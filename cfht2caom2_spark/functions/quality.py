@@ -188,20 +188,41 @@ QUALITY_WEIGHTS = {
 }
 
 
+WORD_LEN_SWEET_SPOT = 5.0   # ~prose mean word length the dev-term centers on
+
+
+def score_feature_exprs(n_words_c: Column, mean_word_len_c: Column,
+                        symbol_ratio_c: Column, stopword_frac_c: Column,
+                        alpha_word_frac_c: Column,
+                        repeated_line_frac_c: Column) -> dict[str, Column]:
+    """The ONE definition of the score's feature space, shared by scoring
+    and training so trained weights can never silently fit a different
+    space.  INSERTION ORDER IS LOAD-BEARING: quality_score sums the terms
+    in this order and the DuckDB oracle mirrors it — floating-point
+    addition is order-sensitive and the parity check is bitwise."""
+    return {
+        "sqrt_n_words": F.sqrt(n_words_c.cast("double")),
+        "stopword_frac": stopword_frac_c,
+        "alpha_word_frac": alpha_word_frac_c,
+        "symbol_ratio": symbol_ratio_c,
+        "repeated_line_frac": repeated_line_frac_c,
+        "mean_word_len_dev": F.abs(mean_word_len_c
+                                   - F.lit(WORD_LEN_SWEET_SPOT)),
+    }
+
+
 def quality_score(n_words_c: Column, mean_word_len_c: Column,
                   symbol_ratio_c: Column, stopword_frac_c: Column,
                   alpha_word_frac_c: Column,
                   repeated_line_frac_c: Column,
                   weights: dict[str, float] | None = None) -> Column:
     w = weights or QUALITY_WEIGHTS
-    z = (F.lit(w["bias"])
-         + F.lit(w["sqrt_n_words"]) * F.sqrt(n_words_c.cast("double"))
-         + F.lit(w["stopword_frac"]) * stopword_frac_c
-         + F.lit(w["alpha_word_frac"]) * alpha_word_frac_c
-         + F.lit(w["symbol_ratio"]) * symbol_ratio_c
-         + F.lit(w["repeated_line_frac"]) * repeated_line_frac_c
-         + F.lit(w["mean_word_len_dev"])
-         * F.abs(mean_word_len_c - F.lit(5.0)))
+    z = F.lit(w["bias"])
+    feats = score_feature_exprs(n_words_c, mean_word_len_c, symbol_ratio_c,
+                                stopword_frac_c, alpha_word_frac_c,
+                                repeated_line_frac_c)
+    for name, expr in feats.items():
+        z = z + F.lit(w[name]) * expr
     return F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
 
 
@@ -238,18 +259,17 @@ def train_quality_weights(decisions: DataFrame,
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
 
-    feats = ["sqrt_n_words", "stopword_frac", "alpha_word_frac",
-             "symbol_ratio", "repeated_line_frac", "mean_word_len_dev"]
+    feat_exprs = score_feature_exprs(
+        F.col("n_words"), F.col("mean_word_len"), F.col("symbol_ratio"),
+        F.col("stopword_frac"), F.col("alpha_word_frac"),
+        F.col("repeated_line_frac"))
+    feats = list(feat_exprs)
     prepared = (
         decisions
         .filter(F.col("n_words").isNotNull()
                 & F.col(label_col).isNotNull())
         .select(
-            F.sqrt(F.col("n_words").cast("double")).alias("sqrt_n_words"),
-            "stopword_frac", "alpha_word_frac", "symbol_ratio",
-            "repeated_line_frac",
-            F.abs(F.col("mean_word_len") - F.lit(5.0))
-            .alias("mean_word_len_dev"),
+            *[expr.alias(name) for name, expr in feat_exprs.items()],
             F.col(label_col).cast("double").alias("label"),
         )
     )

@@ -80,10 +80,11 @@ def _decode_real(payload: bytes, kind: str) -> np.ndarray:
 # for compressed codecs (same pattern as the fastText/KenLM model
 # contracts).
 
-def _decode_ppm(payload: bytes) -> np.ndarray:
-    """P6 binary PPM -> grayscale uint8 HxW (ITU-R 601 luma)."""
-    parts, i = [], 2  # skip 'P6'
-    while len(parts) < 3:
+def _netpbm_header(payload: bytes, n_fields: int) -> tuple[list[int], int]:
+    """Parse netpbm ASCII header fields after the magic; returns (fields,
+    offset of the first raster byte)."""
+    parts, i = [], 2  # skip magic
+    while len(parts) < n_fields:
         while i < len(payload) and payload[i : i + 1].isspace():
             i += 1
         if payload[i : i + 1] == b"#":          # comment to end-of-line
@@ -95,14 +96,36 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
             j += 1
         parts.append(int(payload[i:j]))
         i = j
-    i += 1  # single whitespace after maxval
-    w, h, maxval = parts
-    if maxval > 255:
-        raise ValueError("16-bit PPM unsupported by builtin decoder")
+    return parts, i + 1  # single whitespace after the last field
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """P6 binary PPM -> grayscale uint8 HxW (ITU-R 601 luma), scaled by the
+    header maxval (spec allows 1..255; values are fractions of maxval)."""
+    (w, h, maxval), i = _netpbm_header(payload, 3)
+    if maxval > 255 or maxval < 1:
+        raise ValueError("builtin PPM decoder handles 8-bit maxval only")
     px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
-    rgb = px.reshape(h, w, 3).astype(np.float64)
-    return (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
-            + 0.114 * rgb[..., 2]).astype(np.uint8)
+    rgb = px.reshape(h, w, 3).astype(np.float64) * (255.0 / maxval)
+    return np.clip(0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                   + 0.114 * rgb[..., 2], 0, 255).astype(np.uint8)
+
+
+def _decode_pgm(payload: bytes) -> np.ndarray:
+    """P5 binary PGM -> grayscale uint8 HxW (the builtin resize stage
+    re-encodes to P5, so builtin stages compose)."""
+    (w, h, maxval), i = _netpbm_header(payload, 3)
+    if maxval > 255 or maxval < 1:
+        raise ValueError("builtin PGM decoder handles 8-bit maxval only")
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=i)
+    return np.clip(px.reshape(h, w).astype(np.float64) * (255.0 / maxval),
+                   0, 255).astype(np.uint8)
+
+
+def _encode_pgm(px: np.ndarray) -> bytes:
+    """uint8 HxW -> P5 binary PGM (the inverse of _decode_pgm)."""
+    h, w = px.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
 
 
 def _decode_bmp(payload: bytes) -> np.ndarray:
@@ -151,14 +174,16 @@ def _decode_builtin(payload: bytes, kind: str) -> np.ndarray:
     """Magic-sniffed dispatch over the stdlib-decodable formats."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
+    if payload[:2] == b"P5":
+        return _decode_pgm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
     raise ValueError(
         f"builtin decoder: unrecognized magic {payload[:4]!r} for kind="
-        f"{kind} (PPM/BMP/WAV supported; use decode_backend='real' with "
-        "PIL/ffmpeg for compressed codecs)")
+        f"{kind} (PPM/PGM/BMP/WAV supported; use decode_backend='real' "
+        "with PIL/ffmpeg for compressed codecs)")
 
 
 def _builtin_features(payload: bytes, kind: str) -> np.ndarray:
@@ -166,9 +191,13 @@ def _builtin_features(payload: bytes, kind: str) -> np.ndarray:
     normalized intensity histogram; audio -> FEATURE_DIM per-window RMS
     profile.  Deterministic, content-derived (not hash-derived)."""
     decoded = _decode_builtin(payload, kind)
+    if decoded.size == 0:
+        # zero-frame WAV / 0x0 image: decodable container, no content —
+        # no feature (NaNs from empty-window means must never escape)
+        raise ValueError("empty media content")
     if decoded.ndim == 2:                        # image: intensity histogram
         hist, _ = np.histogram(decoded, bins=FEATURE_DIM, range=(0, 256))
-        return (hist / max(decoded.size, 1)).astype(np.float32)
+        return (hist / decoded.size).astype(np.float32)
     # audio: RMS over FEATURE_DIM equal time windows (zero-padded tail)
     n = len(decoded)
     pad = (-n) % FEATURE_DIM
@@ -200,10 +229,17 @@ def extract_features(df: DataFrame, decode_backend: str = "fake",
                 if decode_backend == "fake":
                     vec = _fake_features(payload)
                 elif decode_backend == "builtin":
-                    vec = _builtin_features(payload, kind)
+                    # per-row isolation: ONE unsupported/truncated payload
+                    # (a stray JPEG, a 32-bit BMP) must yield a null
+                    # feature — exactly like a null payload — not abort
+                    # the whole job through task retries
+                    try:
+                        vec = _builtin_features(payload, kind)
+                    except Exception:
+                        vec = None
                 else:
                     vec = _decode_real(payload, kind)
-                feats.append(vec.tolist())
+                feats.append(None if vec is None else vec.tolist())
             out = pdf.copy()
             out["payload_sha256"] = hashes
             out["feature"] = feats
@@ -264,12 +300,28 @@ def resize_images(df: DataFrame, width: int, height: int,
                 if decode_backend == "fake":
                     px = _fake_pixels(bytes(payload), meta["width"], meta["height"])
                 elif decode_backend == "builtin":
-                    px = _decode_builtin(bytes(payload), kind)
+                    try:
+                        px = _decode_builtin(bytes(payload), kind)
+                        if px.ndim != 2 or px.size == 0:
+                            raise ValueError("not a decodable image")
+                    except Exception:
+                        # per-row isolation: undecodable rows pass through
+                        payloads.append(payload)
+                        metas.append(meta)
+                        continue
                 else:
                     px = _decode_real(bytes(payload), kind)
                 resized = _bilinear_resize(px, width, height)
-                payloads.append(resized.tobytes())
-                metas.append({**meta, "width": width, "height": height})
+                if decode_backend == "builtin":
+                    # re-encode as P5 PGM so builtin stages COMPOSE: the
+                    # output payload is itself builtin-decodable and
+                    # meta.mime tells the truth about the bytes
+                    payloads.append(_encode_pgm(resized))
+                    metas.append({**meta, "width": width, "height": height,
+                                  "mime": "image/x-portable-graymap"})
+                else:
+                    payloads.append(resized.tobytes())
+                    metas.append({**meta, "width": width, "height": height})
             out = pdf.copy()
             out[payload_col] = payloads
             out["meta"] = metas

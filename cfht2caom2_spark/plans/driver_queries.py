@@ -1582,7 +1582,11 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                           k=SPAN_K, min_count=SPAN_MIN_COUNT)
 
 
-Q_REPEATED_SPANS_SQL = f"""
+def _repeated_spans_sql(k: int, min_count: int) -> str:
+    """Oracle template parameterized on (k, min_count) so tests can pin the
+    k>12 flat window builder (operators/spans.py) against DuckDB too, not
+    just the registry's SPAN_K."""
+    return f"""
 WITH t AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(trim(coalesce(text, ''))),
@@ -1592,18 +1596,18 @@ WITH t AS (
 ),
 w AS (
   SELECT doc_id, u.i - 1 AS pos,
-         array_to_string(toks[u.i:u.i + {SPAN_K - 1}], ' ') AS key
-  FROM t, UNNEST(generate_series(1, len(toks) - {SPAN_K - 1})) AS u(i)
-  WHERE len(toks) >= {SPAN_K}
+         array_to_string(toks[u.i:u.i + {k - 1}], ' ') AS key
+  FROM t, UNNEST(generate_series(1, len(toks) - {k - 1})) AS u(i)
+  WHERE len(toks) >= {k}
 ),
 dup AS (
-  SELECT key FROM w GROUP BY key HAVING count(*) >= {SPAN_MIN_COUNT}
+  SELECT key FROM w GROUP BY key HAVING count(*) >= {min_count}
 ),
 m AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (key)),
 isl AS (
   SELECT doc_id, pos,
          CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                       + {SPAN_K}
+                       + {k}
               THEN 1 ELSE 0 END AS brk
   FROM m
 ),
@@ -1613,7 +1617,7 @@ g AS (
   FROM isl
 ),
 sp AS (
-  SELECT doc_id, island, min(pos) AS s, max(pos) + {SPAN_K - 1} AS e
+  SELECT doc_id, island, min(pos) AS s, max(pos) + {k - 1} AS e
   FROM g GROUP BY doc_id, island
 ),
 agg AS (
@@ -1628,6 +1632,9 @@ SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
          / greatest(len(t.toks), 1)::DOUBLE AS dup_token_frac
 FROM t LEFT JOIN agg USING (doc_id)
 """
+
+
+Q_REPEATED_SPANS_SQL = _repeated_spans_sql(SPAN_K, SPAN_MIN_COUNT)
 
 QUERIES["q_repeated_spans"] = q_repeated_spans
 ORACLES["q_repeated_spans"] = Q_REPEATED_SPANS_SQL

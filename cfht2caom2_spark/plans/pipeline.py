@@ -387,7 +387,8 @@ def run_batch(spark: SparkSession, pages: DataFrame, out_dir: str,
               profile: RuleProfile = DEFAULT_PROFILE,
               snapshot_id: int = 0, resume: bool = True,
               dedupe: bool = True, previews: bool = True,
-              benchmark: DataFrame | None = None) -> dict:
+              benchmark: DataFrame | None = None,
+              quality_weights: dict | None = None) -> dict:
     """Materializing driver: resume anti-join -> pipeline -> decisions +
     previews + lineage.  Decisions are written partitioned by day with
     dynamic partition overwrite, so re-running a day is idempotent
@@ -408,7 +409,8 @@ def run_batch(spark: SparkSession, pages: DataFrame, out_dir: str,
     persisted: list = []
     decisions = build_pipeline(work, spark, profile, dedupe=dedupe,
                                persist_tracker=persisted,
-                               benchmark=benchmark)
+                               benchmark=benchmark,
+                               quality_weights=quality_weights)
     decisions = decisions.withColumn(
         "p_day", F.date_format(F.col("warc_ts"), "yyyy-MM-dd")
     )

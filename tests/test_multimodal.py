@@ -174,6 +174,63 @@ def test_builtin_backend_features_and_resize(spark):
     resized = {r["media_id"]: r for r in resize_images(
         df, 8, 8, decode_backend="builtin").collect()}
     assert resized[1]["meta"]["width"] == 8 and resized[1]["meta"]["height"] == 8
-    px = np.frombuffer(resized[1]["payload"], dtype=np.uint8).reshape(8, 8)
+    assert resized[1]["meta"]["mime"] == "image/x-portable-graymap"
+    from cfht2caom2_spark.multimodal import _decode_builtin
+    px = _decode_builtin(bytes(resized[1]["payload"]), "image")
+    assert px.shape == (8, 8)
     assert px[0, 0] < px[0, -1]                        # gradient survives
     assert resized[3]["payload"] == _make_wav()        # non-image untouched
+
+
+def test_builtin_stages_compose_and_isolate_errors(spark):
+    """Round-4 self-review: (a) resize output is itself builtin-decodable
+    (P5 re-encode), so resize -> extract_features chains; (b) one
+    unsupported payload (stray JPEG bytes) yields a NULL feature / an
+    untouched row, never a job abort; (c) zero-frame WAV -> NULL feature,
+    not NaNs; (d) PPM maxval is honored."""
+    import numpy as np
+
+    from cfht2caom2_spark.multimodal import (_decode_builtin,
+                                             extract_features, resize_images)
+
+    # (d) maxval scaling: brightest pixel of a maxval=15 PPM is white
+    ppm15 = b"P6\n2 1\n15\n" + bytes((15, 15, 15, 0, 0, 0))
+    px = _decode_builtin(ppm15, "image")
+    assert px[0, 0] == 255 and px[0, 1] == 0
+
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1); wf.setsampwidth(2); wf.setframerate(8000)
+        wf.writeframes(b"")                            # zero frames
+    empty_wav = buf.getvalue()
+
+    rows = [
+        (1, "image", _make_bmp(16, 16),
+         {"mime": "image/bmp", "width": 16, "height": 16,
+          "duration_ms": None}),
+        (2, "image", b"\xff\xd8\xff\xe0 not really jpeg but unsupported",
+         {"mime": "image/jpeg", "width": 4, "height": 4,
+          "duration_ms": None}),
+        (3, "audio", empty_wav,
+         {"mime": "audio/wav", "width": None, "height": None,
+          "duration_ms": 0}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    # (a) compose: resize -> features over the SAME backend
+    chained = extract_features(
+        resize_images(df, 8, 8, decode_backend="builtin"),
+        decode_backend="builtin")
+    out = {r["media_id"]: r for r in chained.collect()}
+    assert len(out[1]["feature"]) == FEATURE_DIM       # real chained decode
+    assert abs(sum(out[1]["feature"]) - 1.0) < 1e-5
+    # (b) unsupported payload: untouched by resize, NULL feature, job alive
+    assert bytes(out[2]["payload"]).startswith(b"\xff\xd8")
+    assert out[2]["feature"] is None
+    # (c) zero-frame WAV: NULL feature, no NaNs anywhere
+    assert out[3]["feature"] is None
+    for r in out.values():
+        if r["feature"] is not None:
+            assert not any(np.isnan(v) for v in r["feature"])
