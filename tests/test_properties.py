@@ -77,3 +77,48 @@ def test_minhash_sig_matches_naive(words):
 @given(st.text(max_size=1024))
 def test_sha256_stability(text):
     assert sha256_text(text) == sha256_text(text)
+
+
+# --- repeated spans vs an independent python reference ----------------------
+
+def _ref_repeated_spans(docs, k, min_count):
+    """Pure-python ExactSubstr summary: window-count vote + interval merge
+    (independent re-derivation, not a port of the Spark fold)."""
+    counts: dict[str, int] = {}
+    per_doc = {}
+    for did, text in docs:
+        toks = (text or "").lower().split()
+        ws = ([" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+              if len(toks) >= k else [])
+        per_doc[did] = (toks, ws)
+        for w in ws:
+            counts[w] = counts.get(w, 0) + 1
+    out = {}
+    for did, (toks, ws) in per_doc.items():
+        spans: list[list[int]] = []
+        for p in (i for i, w in enumerate(ws) if counts[w] >= min_count):
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], p + k - 1)
+            else:
+                spans.append([p, p + k - 1])
+        dup = sum(e - s + 1 for s, e in spans)
+        out[did] = (len(toks), len(spans), dup)
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_repeated_spans_matches_python_reference(spark, data):
+    """Random tiny corpora (repetition-prone 4-word alphabet) through BOTH
+    window builders (k=3 cascade / k=13 flat) must match the independent
+    python reference exactly — marks, merge rule, counts."""
+    from cfht2caom2_spark.operators.spans import repeated_spans
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd"])
+    doc = st.lists(word, min_size=0, max_size=30).map(" ".join)
+    docs = [(i, data.draw(doc)) for i in range(data.draw(st.integers(2, 5)))]
+    k = data.draw(st.sampled_from([3, 13]))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_spans"], r["dup_token_count"])
+           for r in repeated_spans(df, k=k, min_count=2).collect()}
+    assert got == _ref_repeated_spans(docs, k, 2)
