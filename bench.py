@@ -48,7 +48,8 @@ BENCH_QUERIES = [
     "q_decontaminate", "q_decontaminate_fast", "q_repeated_spans",
     "q_span_scrub",
     "q_stratified_sample", "q_mixture_report",
-    "q_quality_score", "q_bigram_counts",
+    "q_quality_score", "q_bigram_counts", "q_vocab_counts",
+    "q_url_canonical",
     "q_pipeline_flagship",
 ]
 

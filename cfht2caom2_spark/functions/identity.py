@@ -27,6 +27,29 @@ def doc_id_from_url(url: Column) -> Column:
     return F.regexp_replace(path(url), r"\.(html?|php|aspx?)$", "")
 
 
+TRACKING_PARAMS = ("utm_source", "utm_medium", "utm_campaign", "utm_term",
+                   "utm_content", "gclid", "fbclid", "ref")
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form for crawl identity: drop the fragment, strip the
+    well-known tracking query params (UTM family, click ids), drop a
+    then-empty ``?``, and strip one trailing slash from a non-root path —
+    the same URL fetched through different campaign links collapses to one
+    identity.  Pure regexp chain (codegen'd, zero Python), restricted to
+    the Java/RE2-identical subset so the DuckDB oracle runs the SAME
+    patterns.  Reference analogue: ``remove_extensions`` normalizes the
+    storage name before identity is assigned (cfht_name.py:433-444)."""
+    out = F.regexp_replace(url, r"#.*$", "")                # fragment
+    for p in TRACKING_PARAMS:
+        # a tracking param + its value, keeping exactly one separator sane:
+        # '?p=v&x' -> '?x'; '&p=v' -> ''
+        out = F.regexp_replace(out, r"([?&])" + p + r"=[^&#]*&", "$1")
+        out = F.regexp_replace(out, r"[?&]" + p + r"=[^&#]*$", "")
+    out = F.regexp_replace(out, r"\?$", "")                 # bare '?'
+    return F.regexp_replace(out, r"(//[^/]+/.+?)/$", "$1")  # trailing slash
+
+
 def payload_info(html: Column) -> Column:
     """struct<n_bytes, md5> of the raw payload — the FileInfo probe (S6,
     reference cfht_name.py:528-529: size/md5/type per file), used for

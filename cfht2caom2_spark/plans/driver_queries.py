@@ -1836,3 +1836,113 @@ QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram)
 
 QUERIES["q_bigram_counts"] = q_bigram_counts
 ORACLES["q_bigram_counts"] = Q_BIGRAM_COUNTS_SQL
+
+
+# --------------------------------------------------------------------------
+# corpus vocabulary counts — the tokenizer-training feed
+# --------------------------------------------------------------------------
+
+VOCAB_MIN_COUNT = 5     # the HAVING prune: singleton/typo tail never leaves
+VOCAB_TOP_K = 50        # the map-side combine (report-sized here)
+
+
+def q_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram vocabulary with counts — what a BPE/unigram tokenizer
+    trains from.  Map-side-combined wordcount (ONE shuffle on the token),
+    with the count-threshold prune applied IN the aggregation (HAVING
+    n >= K) so the unbounded singleton tail — most of a crawl's distinct
+    tokens — never reaches the top-k window; deterministic tie-break."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda t: t != F.lit(""))
+    counts = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= VOCAB_MIN_COUNT)
+    )
+    w = Window.orderBy(F.col("n").desc(), "token")
+    return (counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= VOCAB_TOP_K).drop("_rn"))
+
+
+Q_VOCAB_COUNTS_SQL = f"""
+WITH t AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+c AS (
+  SELECT token, count(*)::BIGINT AS n FROM t
+  GROUP BY token HAVING count(*) >= {VOCAB_MIN_COUNT}
+)
+SELECT token, n FROM c
+QUALIFY row_number() OVER (ORDER BY n DESC, token) <= {VOCAB_TOP_K}
+"""
+
+QUERIES["q_vocab_counts"] = q_vocab_counts
+ORACLES["q_vocab_counts"] = Q_VOCAB_COUNTS_SQL
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization — crawl identity before any dedup (P-series)
+# --------------------------------------------------------------------------
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical crawl identity: synthesized campaign-style URLs (UTM
+    params, click ids, fragments, trailing slashes — derived
+    deterministically per doc) collapse to their canonical form via
+    functions.identity.canonical_url; identical regexp chain in DuckDB."""
+    from ..functions.identity import canonical_url, host
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://s"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org/art/"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("/?utm_source=feed&utm_campaign=c"),
+                        (F.col("doc_id") % 5).cast("string"),
+                        F.lit("&page=2")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("?gclid=g"), F.col("doc_id").cast("string"),
+                       F.lit("#section-3")))
+        .otherwise(F.lit("/")),
+    )
+    return docs.select(
+        "doc_id", url.alias("url"),
+        canonical_url(url).alias("canonical"),
+        host(url).alias("host"),
+    )
+
+
+def _canonical_sql(col: str) -> str:
+    from ..functions.identity import TRACKING_PARAMS
+    out = f"regexp_replace({col}, '#.*$', '')"
+    for p in TRACKING_PARAMS:
+        out = (f"regexp_replace({out}, '([?&]){p}=[^&#]*&', '\\1', 'g')")
+        out = (f"regexp_replace({out}, '[?&]{p}=[^&#]*$', '')")
+    out = f"regexp_replace({out}, '\\?$', '')"
+    return f"regexp_replace({out}, '(//[^/]+/.+?)/$', '\\1')"
+
+
+Q_URL_CANONICAL_SQL = f"""
+WITH u AS (
+  SELECT doc_id,
+    'https://s' || (doc_id % 7)::VARCHAR || '.example.org/art/'
+      || doc_id::VARCHAR ||
+    CASE WHEN doc_id % 3 = 0 THEN
+           '/?utm_source=feed&utm_campaign=c' || (doc_id % 5)::VARCHAR
+           || '&page=2'
+         WHEN doc_id % 3 = 1 THEN
+           '?gclid=g' || doc_id::VARCHAR || '#section-3'
+         ELSE '/' END AS url
+  FROM documents
+)
+SELECT doc_id, url,
+  {_canonical_sql('url')} AS canonical,
+  's' || ((doc_id % 7))::VARCHAR || '.example.org' AS host
+FROM u
+"""
+
+QUERIES["q_url_canonical"] = q_url_canonical
+ORACLES["q_url_canonical"] = Q_URL_CANONICAL_SQL

@@ -643,3 +643,25 @@ def test_connected_components_paths_agree(spark):
     star = {(r["node"], r["component"]) for r in
             connected_components(df, small_graph_threshold=0).collect()}
     assert small == star
+
+
+def test_canonical_url_edges(spark):
+    """URL canonicalization: tracking params stripped wherever they sit,
+    fragments dropped, separator chain stays valid, root slash preserved,
+    clean urls byte-identical."""
+    from cfht2caom2_spark.functions.identity import canonical_url
+
+    cases = [
+        ("https://a.com/x?utm_source=nl&page=2", "https://a.com/x?page=2"),
+        ("https://a.com/x?page=2&utm_source=nl", "https://a.com/x?page=2"),
+        ("https://a.com/x?utm_source=a&utm_campaign=b",  "https://a.com/x"),
+        ("https://a.com/x?gclid=123#frag", "https://a.com/x"),
+        ("https://a.com/x/", "https://a.com/x"),
+        ("https://a.com/", "https://a.com/"),          # root slash stays
+        ("https://a.com/x?q=1&fbclid=z&r=2", "https://a.com/x?q=1&r=2"),
+        ("https://a.com/clean?q=1", "https://a.com/clean?q=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in
+           df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
