@@ -110,7 +110,27 @@ def run_suite() -> None:
         json.dump(result, fh)
     spark.stop()
     sys.stdout.flush()
-    print(json.dumps(result))
+    print(json.dumps(compact_stdout_record(result)))
+
+
+# the driver keeps only a ~2,000-char tail of stdout: rounds 2-4 lost their
+# BENCH record because the scaling-evidence blobs pushed the line past that.
+# The printed line carries totals + per-query timings ONLY; evidence blobs
+# live in .bench_last.json (authoritative) and .scaling*_evidence.json.
+_STDOUT_BUDGET = 1900
+
+
+def compact_stdout_record(result: dict) -> dict:
+    compact = {k: v for k, v in result.items()
+               if k not in ("last_measured_scaling",
+                            "last_measured_exec_scaling")}
+    if len(json.dumps(compact)) > _STDOUT_BUDGET:
+        # last-ditch guard (must never fire for the checked-in registry —
+        # tests/test_bench_contract.py pins that): shed the per-query map
+        # rather than ship an unparseable line
+        compact = {k: v for k, v in compact.items() if k != "queries"}
+        compact["queries_in"] = ".bench_last.json"
+    return compact
 
 
 _EVIDENCE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
