@@ -27,11 +27,17 @@ def doc_id_from_url(url: Column) -> Column:
     return F.regexp_replace(path(url), r"\.(html?|php|aspx?)$", "")
 
 
+# The unambiguous tracking set only: campaign/click identifiers that never
+# select content.  Bare "ref" is deliberately ABSENT — on many sites it is
+# functional (?ref=<branch> on code hosts, ?ref=<page> pagination) and
+# stripping it merges genuinely distinct pages before dedup; deployments
+# wanting aggressive stripping pass their own set via ``tracking_params``.
 TRACKING_PARAMS = ("utm_source", "utm_medium", "utm_campaign", "utm_term",
-                   "utm_content", "gclid", "fbclid", "ref")
+                   "utm_content", "gclid", "fbclid")
 
 
-def canonical_url(url: Column) -> Column:
+def canonical_url(url: Column,
+                  tracking_params: tuple[str, ...] = TRACKING_PARAMS) -> Column:
     """Canonical form for crawl identity: drop the fragment, strip the
     well-known tracking query params (UTM family, click ids — ALL
     occurrences), drop a then-empty query, and strip one trailing slash
@@ -42,14 +48,18 @@ def canonical_url(url: Column) -> Column:
     of regex-rewriting the whole URL (the round-4 review's failure cases:
     a literal ``&`` in the PATH must never be read as a param separator;
     repeated params must all go; ``/x/?page=2`` must collapse with
-    ``/x?page=2``).  Four passes total, all codegen'd; the DuckDB oracle
-    mirrors the same decomposition.  Reference analogue:
-    ``remove_extensions`` normalizes the storage name before identity is
-    assigned (cfht_name.py:433-444)."""
+    ``/x?page=2``).  The query is extracted by the SAME first-``?`` string
+    split as the base — NOT ``parse_url`` (java.net.URI rejects unencoded
+    spaces/``|``/``[``/non-ASCII, common in crawl data, and would NULL out
+    a legitimate query while the regex-derived base kept the path:
+    ``/search?q=a b`` and ``/search?q=c`` must stay distinct identities).
+    Four passes total, all codegen'd; the DuckDB oracle mirrors the same
+    decomposition.  Reference analogue: ``remove_extensions`` normalizes
+    the storage name before identity is assigned (cfht_name.py:433-444)."""
     no_frag = F.regexp_replace(url, r"#.*$", "")
     base = F.regexp_replace(no_frag, r"\?.*$", "")          # scheme+host+path
-    query = F.coalesce(F.parse_url(no_frag, F.lit("QUERY")), F.lit(""))
-    tracking = "|".join(TRACKING_PARAMS)
+    query = F.regexp_extract(no_frag, r"\?(.*)$", 1)        # '' when no '?'
+    tracking = "|".join(tracking_params)
     kept = F.filter(
         F.split(query, "&"),
         lambda kv: (kv != F.lit("")) & ~kv.rlike(f"^(?:{tracking})="))

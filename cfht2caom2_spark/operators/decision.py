@@ -45,12 +45,18 @@ def blocked_domain_rule(url: Column, blocked_hosts: tuple[str, ...]) -> Column:
     """True when the url's host IS a listed host or a subdomain of one
     (UT1-blocklist matching semantics).  Bounded OR-chain over the list —
     codegen'd into the scan stage, no join; a list too large to inline
-    (>~10^3 entries) should instead broadcast-join on ``identity.host``."""
+    (>~10^3 entries) should instead broadcast-join on ``identity.host``.
+
+    Hostnames are case-insensitive (RFC 4343) but ``parse_url`` preserves
+    the URL's original case, so BOTH sides are lowercased — 'BadSite.com' /
+    'WWW.BADSITE.COM' cannot bypass a 'badsite.com' entry.  UT1 lists are
+    lowercase by convention; normalizing the entries here enforces it."""
     from ..functions.identity import host
 
-    h = host(url)
+    h = F.lower(host(url))
     fired = F.lit(False)
     for b in blocked_hosts:
+        b = b.lower()
         fired = fired | (h == b) | h.endswith("." + b)
     return fired
 

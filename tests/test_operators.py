@@ -669,8 +669,89 @@ def test_canonical_url_edges(spark):
         # trailing path slash collapses even with a query present
         ("https://a.com/x/?page=2", "https://a.com/x?page=2"),
         ("https://a.com/x?", "https://a.com/x"),       # bare '?'
+        # round-5 review failure cases: java.net.URI rejects these, so a
+        # parse_url-derived query NULLed out and silently stripped the
+        # WHOLE legitimate query (collapsing distinct pages pre-dedup).
+        # The first-'?' string split must keep them verbatim.
+        ("https://a.com/search?q=a b", "https://a.com/search?q=a b"),
+        ("https://a.com/x?f=a|b&utm_source=nl", "https://a.com/x?f=a|b"),
+        ("https://a.com/x?r=[1,2]", "https://a.com/x?r=[1,2]"),
+        ("https://a.com/x?q=café&gclid=g", "https://a.com/x?q=café"),
+        # bare 'ref' is FUNCTIONAL (branch/pagination selectors) and no
+        # longer in the default tracking set
+        ("https://a.com/repo?ref=main", "https://a.com/repo?ref=main"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["c"] for r in
            df.select(canonical_url(F.col("url")).alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_canonical_url_duckdb_twin_on_malformed_urls(spark):
+    """The DuckDB oracle twin (_canonical_sql) and the Spark column agree on
+    URLs java.net.URI would REJECT — the round-5 review's gap: parity held
+    only for well-formed synthesized URLs while crawl data is full of
+    unencoded spaces/|/[/non-ASCII."""
+    import duckdb
+    import pandas as pd
+
+    from cfht2caom2_spark.functions.identity import canonical_url
+    from cfht2caom2_spark.plans.driver_queries import _canonical_sql
+
+    urls = [
+        "https://a.com/search?q=a b",
+        "https://a.com/x?f=a|b&utm_source=nl",
+        "https://a.com/x?r=[1,2]&fbclid=f",
+        "https://a.com/x?q=café&page=2",
+        "https://a.com/docs&ref=nav?utm_source=a",
+        "https://a.com/x/?utm_source=a&q=^caret",
+        "https://a.com/x?utm_source=a&utm_source=b",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got_spark = [r["c"] for r in
+                 df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    con = duckdb.connect()
+    con.register("u", pd.DataFrame({"url": urls}))
+    got_duck = [r[0] for r in con.execute(
+        f"SELECT {_canonical_sql('url')} FROM u").fetchall()]
+    assert got_spark == got_duck
+
+
+def test_blocked_domain_rule_case_insensitive(spark):
+    """Hostnames are case-insensitive (RFC 4343): mixed-case crawl URLs and
+    mixed-case blocklist entries must both still match — the safety gate
+    previously compared parse_url's original-case HOST verbatim."""
+    from cfht2caom2_spark.operators.decision import blocked_domain_rule
+
+    df = spark.createDataFrame([
+        ("https://BadSite.com/x", True),
+        ("https://WWW.BADSITE.COM/y", True),
+        ("https://sub.badsite.com/z", True),
+        ("https://Mixed.Example/a", True),      # mixed-case LIST entry
+        ("https://goodsite.com/b", False),
+        ("https://notbadsite.com/c", False),    # suffix != subdomain
+    ], "url string, want boolean")
+    got = df.select(
+        "want",
+        blocked_domain_rule(F.col("url"),
+                            ("badsite.com", "MIXED.example")).alias("fired"),
+    ).collect()
+    assert all(r["fired"] == r["want"] for r in got)
+
+
+def test_canonical_url_custom_tracking_params(spark):
+    """Deployments opting into aggressive stripping pass their own param
+    set; the default set must NOT strip those."""
+    from cfht2caom2_spark.functions.identity import (TRACKING_PARAMS,
+                                                     canonical_url)
+
+    assert "ref" not in TRACKING_PARAMS
+    df = spark.createDataFrame(
+        [("https://a.com/repo?ref=main&page=2",)], "url string")
+    aggressive = TRACKING_PARAMS + ("ref",)
+    got = df.select(
+        canonical_url(F.col("url")).alias("default"),
+        canonical_url(F.col("url"), tracking_params=aggressive).alias("agg"),
+    ).collect()[0]
+    assert got["default"] == "https://a.com/repo?ref=main&page=2"
+    assert got["agg"] == "https://a.com/repo?page=2"
