@@ -46,7 +46,7 @@ BENCH_QUERIES = [
     "q_repetition_stats",
     "q_pipeline_heuristic", "q_pipeline_flagship_det", "q_boilerplate_lines",
     "q_decontaminate", "q_decontaminate_fast", "q_repeated_spans",
-    "q_span_scrub",
+    "q_repeated_spans_fast", "q_span_scrub", "q_span_scrub_fast",
     "q_stratified_sample", "q_mixture_report",
     "q_quality_score", "q_bigram_counts", "q_vocab_counts",
     "q_url_canonical",

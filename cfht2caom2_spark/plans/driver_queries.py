@@ -1717,6 +1717,37 @@ LEFT JOIN keptagg USING (doc_id)
 
 QUERIES["q_span_scrub"] = q_span_scrub
 ORACLES["q_span_scrub"] = Q_SPAN_SCRUB_SQL
+
+
+def q_repeated_spans_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash twin of q_repeated_spans: ``key_fn=xxhash64`` — the
+    8-byte window keys build_pipeline ships (pipeline.py span block) —
+    instead of the oracle mode's raw window strings through the shuffle.
+    No SQL oracle (DuckDB has no xxhash64); pytest pins output equality
+    against the string-key path (hash-agnostic up to 64-bit collisions,
+    ~1e-9 at this cardinality), the same discipline as the dedup/decontam
+    ``_fast`` twins.  The bench trend line quotes THIS query's cost."""
+    from ..operators.spans import repeated_spans
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return repeated_spans(docs, id_col="doc_id", text_col="text",
+                          k=SPAN_K, min_count=SPAN_MIN_COUNT,
+                          key_fn=lambda c: F.xxhash64(c))
+
+
+def q_span_scrub_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash twin of q_span_scrub (xxhash64 window keys; see
+    q_repeated_spans_fast)."""
+    from ..operators.spans import remove_repeated_spans
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return remove_repeated_spans(docs, id_col="doc_id", text_col="text",
+                                 k=SPAN_K, min_count=SPAN_MIN_COUNT,
+                                 key_fn=lambda c: F.xxhash64(c))
+
+
+NO_ORACLE_QUERIES["q_repeated_spans_fast"] = q_repeated_spans_fast
+NO_ORACLE_QUERIES["q_span_scrub_fast"] = q_span_scrub_fast
 QUERIES["q_stratified_sample"] = q_stratified_sample
 ORACLES["q_stratified_sample"] = Q_STRATIFIED_SAMPLE_SQL
 QUERIES["q_mixture_report"] = q_mixture_report

@@ -506,6 +506,26 @@ def test_dedup_clusters_fast_component_invariants(spark):
         assert fast_lbl.get(a) == fast_lbl.get(b) is not None, (a, b)
 
 
+def test_span_fast_twins_match_oracle_mode(spark):
+    """Production-hash span twins (q_repeated_spans_fast / q_span_scrub_fast,
+    xxhash64 window keys) must produce EXACTLY the oracle-mode (string-key)
+    output on the test table — a 64-bit collision is the only divergence
+    mode (~1e-9 at this window cardinality) and can only ADD a false span,
+    so byte-equality here is the strongest check available without SQL."""
+    from cfht2caom2_spark.plans.driver_queries import (q_repeated_spans,
+                                                      q_repeated_spans_fast,
+                                                      q_span_scrub,
+                                                      q_span_scrub_fast)
+
+    SF = "/root/testdata/sf0.001"
+    for oracle_fn, fast_fn in ((q_repeated_spans, q_repeated_spans_fast),
+                               (q_span_scrub, q_span_scrub_fast)):
+        want = {tuple(r) for r in oracle_fn(spark, SF).collect()}
+        got = {tuple(r) for r in fast_fn(spark, SF).collect()}
+        assert got == want, (oracle_fn.__name__,
+                             len(got - want), len(want - got))
+
+
 # --- exact-substring repeated spans (operators/spans.py) --------------------
 
 def _span_docs(spark, rows):
