@@ -44,7 +44,8 @@ BENCH_QUERIES = [
     "q_merge_last_wins", "q_langid_heuristic", "q_rule_report",
     "q_dedup_clusters", "q_dedup_clusters_fast", "q_preview_stats",
     "q_repetition_stats",
-    "q_pipeline_heuristic", "q_pipeline_flagship_det", "q_boilerplate_lines",
+    "q_pipeline_heuristic", "q_pipeline_flagship_det",
+    "q_pipeline_flagship_span", "q_boilerplate_lines",
     "q_decontaminate", "q_decontaminate_fast", "q_repeated_spans",
     "q_repeated_spans_fast", "q_span_scrub", "q_span_scrub_fast",
     "q_stratified_sample", "q_mixture_report",

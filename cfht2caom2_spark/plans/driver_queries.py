@@ -1301,6 +1301,32 @@ def _quality_score_sql(n_words: str = "n_words") -> str:
     return f"(0.5 + {z} / (2.0 * (1.0 + abs({z}))))"
 
 
+def _det_pipeline(spark: SparkSession, sf_dir: str,
+                  **profile_overrides) -> DataFrame:
+    """build_pipeline under the constant models + det profile, projected to
+    the SQL-expressible column set — shared by the det flagship and its
+    profile variants (span removal etc.)."""
+    from dataclasses import replace
+
+    from ..config import DEFAULT_PROFILE
+    from .pipeline import build_pipeline
+
+    profile = replace(DEFAULT_PROFILE, version="2026.08.1-det",
+                      max_perplexity=float("inf"), min_lang_conf=0.0,
+                      allowed_langs=("en", "und"), **profile_overrides)
+    out = build_pipeline(_flagship_pages(spark, sf_dir), spark,
+                         profile=profile, dedupe=False, has_html=False,
+                         langid_model=_ConstLangID(), ppl_model=_ConstLM())
+    return out.select(
+        "url", "extracted_sha256", "n_words", "mean_word_len", "symbol_ratio",
+        "stopword_frac", "alpha_word_frac", "repeated_line_frac",
+        "repeated_paragraph_frac", "quality_score", "span_removed_tokens",
+        F.array_join("rules", ",").alias("rules_str"), "keep",
+        F.array_join("scrub_rules", ",").alias("scrub_rules_str"),
+        "scrubbed_text",
+    )
+
+
 def q_pipeline_flagship_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL build_pipeline under a constant language model — every output
     column deterministic, so the driver hash-checks the actual flagship plan
@@ -1309,25 +1335,7 @@ def q_pipeline_flagship_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines that q_pipeline_heuristic's reduced set omits), and the kept-only
     scrub artifact.  Complements q_pipeline_flagship, whose trigram/bigram
     model columns have no SQL equivalent (rows-only driver check)."""
-    from dataclasses import replace
-
-    from ..config import DEFAULT_PROFILE
-    from .pipeline import build_pipeline
-
-    profile = replace(DEFAULT_PROFILE, version="2026.08.1-det",
-                      max_perplexity=float("inf"), min_lang_conf=0.0,
-                      allowed_langs=("en", "und"))
-    out = build_pipeline(_flagship_pages(spark, sf_dir), spark,
-                         profile=profile, dedupe=False, has_html=False,
-                         langid_model=_ConstLangID(), ppl_model=_ConstLM())
-    return out.select(
-        "url", "extracted_sha256", "n_words", "mean_word_len", "symbol_ratio",
-        "stopword_frac", "alpha_word_frac", "repeated_line_frac",
-        "repeated_paragraph_frac", "quality_score",
-        F.array_join("rules", ",").alias("rules_str"), "keep",
-        F.array_join("scrub_rules", ",").alias("scrub_rules_str"),
-        "scrubbed_text",
-    )
+    return _det_pipeline(spark, sf_dir)
 
 
 _DET_RULE_CASES = ", ".join(
@@ -1360,22 +1368,35 @@ def _scrub_rules_sql(col: str) -> str:
             f" x -> x IS NOT NULL)), ','), '')")
 
 
-def _pipeline_flagship_det_sql() -> str:
+def _pipeline_flagship_det_sql(pre_ctes: str = "",
+                               base_cte: str | None = None) -> str:
+    """The det-flagship oracle, parameterizable so profile variants reuse
+    the ONE stats/rules/scrub chain.  ``base_cte`` must yield
+    (url, orig_text, text, span_removed_tokens): ``orig_text`` is the
+    as-crawled extraction — extracted_sha256 hashes THAT, because the
+    pipeline computes the sha in the extraction pass, before any cleaning
+    mutates extracted_text — while ``text`` is what stats/rules/scrub
+    see.  ``pre_ctes`` (trailing-comma'd) lets a variant prepend e.g. the
+    span-scrub chain."""
     from ..config import TOXICITY_WORDS
     tox = ",".join(f"'{w}'" for w in TOXICITY_WORDS)
+    if base_cte is None:
+        base_cte = ("SELECT 'doc://' || doc_id::VARCHAR AS url, "
+                    "text AS orig_text, text, "
+                    "0::BIGINT AS span_removed_tokens FROM documents")
     return f"""
-WITH base AS (
-  SELECT 'doc://' || doc_id::VARCHAR AS url, text FROM documents
+WITH {pre_ctes}base AS (
+  {base_cte}
 ),
 t AS (
-  SELECT url, text, {_TOKS} AS toks,
+  SELECT url, orig_text, text, span_removed_tokens, {_TOKS} AS toks,
          list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lns,
          list_filter(regexp_split_to_array(text, '\\n{{2,}}'),
                      p -> trim(p) <> '') AS prs
   FROM base
 ),
 s AS (
-  SELECT url, text,
+  SELECT url, orig_text, text, span_removed_tokens,
 {_STATS_EXPRS_SQL.strip()},
   len(list_filter(toks, x -> lower(x) IN ({tox})))::BIGINT AS toxicity_hits
   FROM t
@@ -1386,10 +1407,11 @@ r AS (
   FROM s
 )
 SELECT url,
-  CASE WHEN text IS NOT NULL THEN sha256(text) END AS extracted_sha256,
+  CASE WHEN orig_text IS NOT NULL THEN sha256(orig_text) END AS extracted_sha256,
   n_words, mean_word_len, symbol_ratio, stopword_frac, alpha_word_frac,
   repeated_line_frac, repeated_paragraph_frac,
   {_quality_score_sql()} AS quality_score,
+  span_removed_tokens,
   coalesce(array_to_string(rules, ','), '') AS rules_str,
   coalesce(len(rules), 0) = 0 AS keep,
   {_scrub_rules_sql('text')} AS scrub_rules_str,
@@ -1748,6 +1770,97 @@ def q_span_scrub_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NO_ORACLE_QUERIES["q_repeated_spans_fast"] = q_repeated_spans_fast
 NO_ORACLE_QUERIES["q_span_scrub_fast"] = q_span_scrub_fast
+
+
+def q_pipeline_flagship_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The det flagship with span_removal ON (profile span_k=SPAN_K so the
+    sf-scale docs exercise it): hash-checks the ACTUAL pipeline span block —
+    sha-folded join-back, first-occurrence exemption, stats/rules/scrub over
+    the CLEANED text, extracted_sha256 still hashing the as-crawled text,
+    and the span_removed_tokens attribution column non-trivially populated
+    (the round-4 audit gap: span mutations were invisible in the decisions
+    store)."""
+    return _det_pipeline(spark, sf_dir, span_removal=True,
+                         span_k=SPAN_K, span_min_count=SPAN_MIN_COUNT)
+
+
+# the span-scrub chain as pre-CTEs feeding the shared det oracle: the
+# pipeline's exemption order (_ord=warc_ts, id, pos) collapses to
+# (doc_id, pos) here because the flagship synthesizes warc_ts monotone in
+# doc_id; the Spark side ships xxhash64 window keys, the oracle raw
+# strings — identical output barring a 64-bit collision (~1e-9 here,
+# documented in operators/spans.py)
+_SPAN_DET_PRE = f"""sd_t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS ltoks,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS otoks
+  FROM documents
+),
+sd_w AS (
+  SELECT doc_id, u.i - 1 AS pos,
+         array_to_string(ltoks[u.i:u.i + {SPAN_K - 1}], ' ') AS key
+  FROM sd_t, UNNEST(generate_series(1, len(ltoks) - {SPAN_K - 1})) AS u(i)
+  WHERE len(ltoks) >= {SPAN_K}
+),
+sd_s AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY key) AS cnt,
+         row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn
+  FROM sd_w
+),
+sd_m AS (SELECT doc_id, pos FROM sd_s
+         WHERE cnt >= {SPAN_MIN_COUNT} AND rn > 1),
+sd_isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       + {SPAN_K}
+              THEN 1 ELSE 0 END AS brk
+  FROM sd_m
+),
+sd_gi AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM sd_isl
+),
+sd_sp AS (
+  SELECT doc_id, island, min(pos) AS sp_s, max(pos) + {SPAN_K - 1} AS sp_e
+  FROM sd_gi GROUP BY doc_id, island
+),
+sd_tok AS (
+  SELECT sd_t.doc_id, u.i - 1 AS idx, sd_t.otoks[u.i] AS tok
+  FROM sd_t, UNNEST(generate_series(1, len(sd_t.otoks))) AS u(i)
+),
+sd_rem AS (
+  SELECT DISTINCT sd_tok.doc_id, sd_tok.idx
+  FROM sd_tok JOIN sd_sp ON sd_tok.doc_id = sd_sp.doc_id
+                        AND sd_tok.idx BETWEEN sd_sp.sp_s AND sd_sp.sp_e
+),
+sd_removed AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM sd_rem GROUP BY doc_id),
+sd_kept AS (
+  SELECT sd_tok.doc_id,
+         string_agg(sd_tok.tok, ' ' ORDER BY sd_tok.idx) AS cleaned
+  FROM sd_tok ANTI JOIN sd_rem USING (doc_id, idx)
+  GROUP BY sd_tok.doc_id
+),
+"""
+
+_SPAN_DET_BASE = """SELECT 'doc://' || sd_t.doc_id::VARCHAR AS url,
+         sd_t.text AS orig_text,
+         CASE WHEN coalesce(sd_removed.n, 0) = 0 THEN sd_t.text
+              ELSE coalesce(sd_kept.cleaned, '') END AS text,
+         coalesce(sd_removed.n, 0)::BIGINT AS span_removed_tokens
+  FROM sd_t
+  LEFT JOIN sd_removed USING (doc_id)
+  LEFT JOIN sd_kept USING (doc_id)"""
+
+Q_PIPELINE_FLAGSHIP_SPAN_SQL = _pipeline_flagship_det_sql(
+    pre_ctes=_SPAN_DET_PRE, base_cte=_SPAN_DET_BASE)
+
+QUERIES["q_pipeline_flagship_span"] = q_pipeline_flagship_span
+ORACLES["q_pipeline_flagship_span"] = Q_PIPELINE_FLAGSHIP_SPAN_SQL
 QUERIES["q_stratified_sample"] = q_stratified_sample
 ORACLES["q_stratified_sample"] = Q_STRATIFIED_SAMPLE_SQL
 QUERIES["q_mixture_report"] = q_mixture_report

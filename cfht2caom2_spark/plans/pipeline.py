@@ -41,7 +41,7 @@ OUTPUT_COLUMNS = [
     "lang_source", "ppl",
     "n_words", "mean_word_len", "symbol_ratio", "stopword_frac",
     "alpha_word_frac", "repeated_line_frac", "repeated_paragraph_frac",
-    "quality_score",
+    "quality_score", "span_removed_tokens",
     "keep", "rules", "scrub_rules", "scrubbed_text",
 ]
 
@@ -214,8 +214,19 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
                        F.coalesce(F.col("_sp_text"),
                                   F.col("extracted_text")))
                 .otherwise(F.col("extracted_text")))
+            # attribution: every mutation to the stored artifact is
+            # auditable (the scrub_rules discipline; reference records
+            # repairs, instruments.py:222-266) — an auditor distinguishes
+            # "text shrank" from "span dedup fired" by this count
+            .withColumn("span_removed_tokens",
+                        F.coalesce(F.col("removed_token_count"),
+                                   F.lit(0)).cast("bigint"))
             .drop("_sp_id", "_sp_text", "removed_token_count")
         )
+    else:
+        # stable decisions schema across profiles (the lang_source rule):
+        # span-off runs record an explicit zero, not a missing column
+        df = df.withColumn("span_removed_tokens", F.lit(0).cast("bigint"))
 
     # narrow JVM exprs over the (possibly cleaned) extraction — keep/drop
     # thresholds and the stored artifact reflect trainable content only.
