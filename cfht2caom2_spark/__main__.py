@@ -103,9 +103,14 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.mode == "batch":
         from .plans.pipeline import run_batch
+        from .sources.table import open_table
 
-        pages = spark.read.parquet(args.pages)
-        if "p_day" in pages.columns:
+        # One seam for every storage flavour (SURVEY §1.3 S1-S3): a plain
+        # parquet dir, a SnapshotTable root (time travel via --snapshot-id),
+        # or an Iceberg catalog identifier like lake.web.pages.
+        pages = open_table(spark, args.pages).read(
+            spark, snapshot_id=args.snapshot_id or None)
+        if "p_day" in pages.columns:   # derived partition col, re-derived on write
             pages = pages.drop("p_day")
         from dataclasses import replace
 
@@ -135,17 +140,22 @@ def main(argv: list[str] | None = None) -> int:
                            quality_weights=qw)
         print(json.dumps(result))
     elif args.mode == "state":
-        from .sources.table import SnapshotTable
+        from .sources.table import open_table
         from .streaming.incremental import process_increment
 
-        result = process_increment(spark, SnapshotTable(args.table),
+        result = process_increment(spark, open_table(spark, args.table),
                                    args.out, args.bookmark)
         print(json.dumps(result))
     elif args.mode == "stream":
-        from .sources.table import SnapshotTable
+        from .sources.table import SnapshotTable, open_table
         from .streaming.incremental import stream_pages
 
-        q = stream_pages(spark, SnapshotTable(args.table), args.out,
+        table = open_table(spark, args.table)
+        if not isinstance(table, SnapshotTable):
+            p.error(f"stream mode needs a SnapshotTable root (file-source "
+                    f"streaming over its data dir); {args.table!r} resolved "
+                    f"to {type(table).__name__}")
+        q = stream_pages(spark, table, args.out,
                          trigger_once=not args.continuous)
         q.awaitTermination()
     elif args.mode == "mix":

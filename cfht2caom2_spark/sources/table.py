@@ -197,11 +197,45 @@ class IcebergTable:
         return reader.table(self.identifier)
 
 
+class ParquetDirTable:
+    """Read-only table surface over a plain parquet directory or file —
+    what ``batch --pages /data/dump.parquet`` opens when the target has no
+    snapshot manifests.  Time travel and incremental scans need manifests
+    (``SnapshotTable``) or a real catalog (``IcebergTable``); asking for
+    them here is a user error and raises with the fix spelled out."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def snapshots(self) -> list[int]:
+        return []
+
+    def current_snapshot(self) -> int | None:
+        return None
+
+    def read(self, spark: SparkSession,
+             snapshot_id: int | None = None) -> DataFrame:
+        if snapshot_id:
+            raise ValueError(
+                f"{self.root} is a plain parquet target with no snapshot "
+                "manifests — time travel needs a SnapshotTable root or an "
+                "Iceberg catalog identifier")
+        return spark.read.parquet(self.root)
+
+    def incremental(self, spark: SparkSession, after: int | None,
+                    until: int | None = None) -> DataFrame:
+        raise ValueError(
+            f"{self.root} is a plain parquet target with no snapshot "
+            "manifests — incremental scans need a SnapshotTable root or an "
+            "Iceberg catalog identifier")
+
+
 def resolve_backend(spark: SparkSession, target: str) -> str:
     """'iceberg' when ``target`` is a catalog identifier whose leading part
     names a configured Spark catalog; 'parquet' otherwise (filesystem path
-    -> SnapshotTable).  Paths always win: anything with a separator or an
-    existing directory is a path even if a same-named catalog exists."""
+    -> SnapshotTable / ParquetDirTable).  Paths always win: anything with a
+    separator or an existing directory is a path even if a same-named
+    catalog exists."""
     if os.sep in target or "/" in target or os.path.exists(target):
         return "parquet"
     head, _, rest = target.partition(".")
@@ -215,11 +249,23 @@ def resolve_backend(spark: SparkSession, target: str) -> str:
 
 
 def open_table(spark: SparkSession, target: str):
-    """Backend dispatch: the ONE call sites use to get a pages table.
+    """Backend dispatch: the ONE call sites (and the CLI) use to get a
+    pages table.
 
-    >>> open_table(spark, "/data/pages")           # parquet SnapshotTable
+    >>> open_table(spark, "/data/pages")           # SnapshotTable root
+    >>> open_table(spark, "/data/dump.parquet")    # plain parquet dir/file
     >>> open_table(spark, "lake.web.pages")        # IcebergTable
+
+    Filesystem targets split on layout: a ``snapshots/`` manifest dir (or a
+    fresh/empty path, which ``append`` will initialise) means SnapshotTable;
+    an existing parquet file/dir without manifests is a plain read-only
+    ParquetDirTable.  Reference analogue: one client seam for every storage
+    flavour, /root/reference/cfht2caom2/cfht_name.py:570-601.
     """
     if resolve_backend(spark, target) == "iceberg":
         return IcebergTable(spark, target)
+    if (os.path.isfile(target)
+            or (os.path.isdir(target) and os.listdir(target)
+                and not os.path.isdir(os.path.join(target, "snapshots")))):
+        return ParquetDirTable(target)
     return SnapshotTable(target)

@@ -376,3 +376,75 @@ def test_open_table_backend_dispatch(spark, tmp_path):
         assert resolve_backend(spark, "lake") == "parquet"
     finally:
         spark.conf.unset("spark.sql.catalog.lake")
+
+
+def test_open_table_plain_parquet_dispatch(spark, tmp_path):
+    """Filesystem targets split on layout (round-4 verdict #2): an existing
+    parquet dir WITHOUT snapshot manifests opens the read-only
+    ParquetDirTable (so `batch --pages <testdata dir>` never mkdirs inside
+    the input); a SnapshotTable root keeps its class; time-travel /
+    incremental on a plain dir raise with the fix spelled out."""
+    from cfht2caom2_spark.sources.pages import synth_pages
+    from cfht2caom2_spark.sources.table import (ParquetDirTable,
+                                                SnapshotTable, open_table)
+
+    plain = str(tmp_path / "plain")
+    synth_pages(spark, 20).write.parquet(plain)
+    t = open_table(spark, plain)
+    assert isinstance(t, ParquetDirTable)
+    assert t.read(spark).count() == 20
+    assert t.current_snapshot() is None and t.snapshots() == []
+    # input dir untouched: no data/ or snapshots/ created inside it
+    import os
+    assert not os.path.isdir(os.path.join(plain, "snapshots"))
+    with pytest.raises(ValueError, match="time travel"):
+        t.read(spark, snapshot_id=3)
+    with pytest.raises(ValueError, match="incremental"):
+        t.incremental(spark, after=1)
+
+    snaproot = str(tmp_path / "snaproot")
+    st = SnapshotTable(snaproot)
+    st.append(synth_pages(spark, 10))
+    assert isinstance(open_table(spark, snaproot), SnapshotTable)
+    # fresh (nonexistent) path stays SnapshotTable so state mode can init it
+    assert isinstance(open_table(spark, str(tmp_path / "fresh")),
+                      SnapshotTable)
+
+
+def test_cli_batch_routes_catalog_identifier(spark, tmp_path, monkeypatch):
+    """`batch --pages lake.web.pages` with a configured catalog goes through
+    open_table -> IcebergTable (round-4 verdict #2: the seam must be
+    reachable from the CLI).  The Iceberg read itself is mocked — no runtime
+    jar in this sandbox — so this pins the ROUTING plus a full batch run
+    over the returned frame."""
+    import json
+
+    import cfht2caom2_spark.__main__ as cli
+    import cfht2caom2_spark.session as session_mod
+    from cfht2caom2_spark.sources import table as table_mod
+    from cfht2caom2_spark.sources.pages import synth_pages
+
+    seen = {}
+
+    def fake_read(self, spark_arg=None, snapshot_id=None):
+        seen["identifier"] = self.identifier
+        seen["snapshot_id"] = snapshot_id
+        return synth_pages(spark, 40)
+
+    monkeypatch.setattr(table_mod.IcebergTable, "read", fake_read)
+    monkeypatch.setattr(session_mod, "get_spark",
+                        lambda app_name=None, **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    spark.conf.set("spark.sql.catalog.lake",
+                   "org.apache.iceberg.spark.SparkCatalog")
+    out = str(tmp_path / "out")
+    try:
+        rc = cli.main(["batch", "--pages", "lake.web.pages", "--out", out,
+                       "--no-resume", "--no-previews", "--no-dedupe"])
+    finally:
+        spark.conf.unset("spark.sql.catalog.lake")
+    assert rc == 0
+    assert seen["identifier"] == "lake.web.pages"
+    assert seen["snapshot_id"] is None          # --snapshot-id 0 -> full read
+    assert spark.read.parquet(out + "/decisions").count() == 40
