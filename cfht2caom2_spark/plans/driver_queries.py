@@ -1287,11 +1287,20 @@ def _flagship_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _quality_score_sql(n_words: str = "n_words") -> str:
+def _quality_score_sql(n_words: str = "n_words",
+                       weights: dict[str, float] | None = None) -> str:
     """DuckDB twin of functions.quality.quality_score — same literals, same
     left-associated op order, only IEEE-exact ops (+,-,*,/,abs,sqrt), so the
-    doubles match Spark's bitwise."""
-    from ..functions.quality import QUALITY_WEIGHTS as W
+    doubles match Spark's bitwise.  ``weights`` parameterizes the vector the
+    same way quality_score(weights=...) does.  Weight literals are emitted
+    as STRING casts ('1.23...'::DOUBLE): a bare high-precision literal is a
+    DuckDB DECIMAL(>15 digits) whose cast to DOUBLE goes through int128 /
+    10^scale and can land 1 ulp off the correctly-rounded decimal parse —
+    the string parse is correctly rounded, keeping parity bitwise for ANY
+    trained vector."""
+    from ..functions.quality import QUALITY_WEIGHTS
+    Wf = weights or QUALITY_WEIGHTS
+    W = {k: f"'{v!r}'::DOUBLE" for k, v in Wf.items()}
     z = (f"({W['bias']} + {W['sqrt_n_words']} * sqrt({n_words}::DOUBLE)"
          f" + {W['stopword_frac']} * stopword_frac"
          f" + {W['alpha_word_frac']} * alpha_word_frac"
@@ -1919,6 +1928,74 @@ FROM q
 
 QUERIES["q_quality_score"] = q_quality_score
 ORACLES["q_quality_score"] = Q_QUALITY_SCORE_SQL
+
+
+# A real train_quality_weights output (LR over a 3k-row deterministic synth
+# decisions store), frozen so the oracle can carry the same literals.  The
+# point of this query is the score/train feature-space CONTRACT: trained
+# weights drop into with_quality_score(weights=...) and the parity with the
+# identically-parameterized SQL stays bitwise — any drift between
+# score_feature_exprs and the trainer's feature projection breaks the hash.
+TRAINED_WEIGHTS_FROZEN = {
+    "bias": -20.966467171278076,
+    "sqrt_n_words": 1.4001651086623486,
+    "stopword_frac": 15.815454764711689,
+    "alpha_word_frac": 3.394008518826225,
+    "symbol_ratio": -59.23422021684087,
+    "repeated_line_frac": -50.432374225111225,
+    "mean_word_len_dev": -0.305020987288846,
+}
+
+
+def q_quality_score_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_quality_score scored with a TRAINED (non-default) weight vector —
+    the --quality-weights CLI path, exercised under the oracle."""
+    from ..functions.quality import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    docs = docs.withColumn("_toks", Q.tokens(text))
+    t = F.col("_toks")
+    stats = docs.select(
+        "doc_id",
+        Q.n_words(t).alias("n_words"),
+        Q.mean_word_len(t).alias("mean_word_len"),
+        Q.symbol_ratio(text).alias("symbol_ratio"),
+        Q.stopword_frac(t, "en").alias("stopword_frac"),
+        Q.alpha_word_frac(t).alias("alpha_word_frac"),
+        Q.repeated_line_frac(text).alias("repeated_line_frac"),
+    )
+    scored = stats.withColumn("quality_score", quality_score(
+        F.col("n_words"), F.col("mean_word_len"), F.col("symbol_ratio"),
+        F.col("stopword_frac"), F.col("alpha_word_frac"),
+        F.col("repeated_line_frac"), weights=TRAINED_WEIGHTS_FROZEN))
+    return scored.select(
+        "doc_id", "quality_score",
+        F.least(F.floor(F.col("quality_score") * 10), F.lit(9))
+        .cast("bigint").alias("q_decile"),
+    )
+
+
+Q_QUALITY_SCORE_TRAINED_SQL = f"""
+WITH t AS ({_STATS_CTE_SQL.strip()}
+),
+s AS (
+  SELECT doc_id,
+{_STATS_EXPRS_SQL.strip()}
+  FROM t
+),
+q AS (
+  SELECT doc_id,
+         {_quality_score_sql(weights=TRAINED_WEIGHTS_FROZEN)} AS quality_score
+  FROM s
+)
+SELECT doc_id, quality_score,
+       least(floor(quality_score * 10), 9)::BIGINT AS q_decile
+FROM q
+"""
+
+QUERIES["q_quality_score_trained"] = q_quality_score_trained
+ORACLES["q_quality_score_trained"] = Q_QUALITY_SCORE_TRAINED_SQL
 
 
 # --------------------------------------------------------------------------

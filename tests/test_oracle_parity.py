@@ -49,3 +49,39 @@ def test_repeated_spans_flat_builder_parity_k13(spark):
     problems = compare("spans_k13", repeated_spans(docs, k=13, min_count=2),
                        _repeated_spans_sql(13, 2), con)
     assert problems == [], problems
+
+
+def test_trained_weights_score_parity_is_bitwise(spark):
+    """Feature-space contract (round-4 verdict #6): weights from a FRESH
+    train_quality_weights run — not the frozen vector — must score
+    bitwise-identically between with_quality_score(weights=w) and the
+    identically-parameterized DuckDB SQL.  Any drift between
+    score_feature_exprs and the trainer's feature projection, or a weight
+    literal that doesn't round-trip, breaks this."""
+    from cfht2caom2_spark.functions.quality import train_quality_weights
+    from cfht2caom2_spark.plans.driver_queries import (
+        _quality_score_sql, q_quality_score_trained)
+    from cfht2caom2_spark.plans.pipeline import build_pipeline
+    from cfht2caom2_spark.sources.pages import synth_pages
+
+    decisions = build_pipeline(synth_pages(spark, 400), spark,
+                               dedupe=False).cache()
+    w = train_quality_weights(decisions)
+    stats = decisions.filter("n_words IS NOT NULL").select(
+        "url", "n_words", "mean_word_len", "symbol_ratio", "stopword_frac",
+        "alpha_word_frac", "repeated_line_frac")
+    from cfht2caom2_spark.functions.quality import with_quality_score
+    spark_scores = {r["url"]: r["quality_score"]
+                    for r in with_quality_score(stats, weights=w).collect()}
+    decisions.unpersist()
+
+    import duckdb
+    con = duckdb.connect()
+    con.register("s", stats.toPandas())
+    sql = f"SELECT url, {_quality_score_sql(weights=w)} AS q FROM s"
+    duck_scores = {u: q for u, q in con.execute(sql).fetchall()}
+    con.close()
+    assert spark_scores.keys() == duck_scores.keys()
+    import struct
+    for u, v in spark_scores.items():
+        assert struct.pack("<d", v) == struct.pack("<d", duck_scores[u]), u
