@@ -227,14 +227,31 @@ def minhash_dedup_losers(df: DataFrame, id_col: str, text_col: str,
 
 # --- simhash -------------------------------------------------------------------
 
-def simhash(text: Column, bits: int = 16) -> Column:
-    """Per-row SimHash over distinct word hashes — pure array expressions,
-    no shuffle (Charikar 2002).  Bit j of the output is 1 iff the sum over
-    words of ±1 (word-hash bit j) is positive."""
-    toks = F.array_distinct(
-        F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda t: t != F.lit(""))
-    )
-    hashes = F.transform(toks, shingle_hash)
+def hash60(feature: Column) -> Column:
+    """Full-width oracle-portable hash: first 15 hex chars of md5 = 60 bits
+    (DuckDB twin: ``('0x' || substr(md5(x), 1, 15))::BIGINT``).  Unlike
+    shingle_hash there is NO mod-2^31 reduction — simhash reads individual
+    BITS of the feature hash, and a 31-bit hash would pin every bit above
+    30 to a constant."""
+    return F.conv(F.substring(F.md5(feature), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash(text: Column, bits: int = 16, features_fn=None,
+            hash_fn=None) -> Column:
+    """Per-row SimHash — pure array expressions, no shuffle (Charikar
+    2002).  Bit j of the output is 1 iff the sum over features of ±1
+    (feature-hash bit j) is positive.
+
+    Defaults keep the original q_simhash surface: features = distinct
+    words, hash = shingle_hash (31-bit — fine for bits <= 31).  The
+    near-dup pairs path passes shingle features + hash60 so ordering
+    matters and all 60 hash bits carry signal."""
+    if features_fn is None:
+        def features_fn(t):
+            return F.array_distinct(
+                F.filter(F.split(F.lower(F.trim(t)), r"\s+"),
+                         lambda x: x != F.lit("")))
+    hashes = F.transform(features_fn(text), hash_fn or shingle_hash)
     # ONE fold over the hash array accumulating all per-bit counters (per-bit
     # separate folds would re-evaluate the token/md5 pipeline `bits` times)
     zeros = F.array_repeat(F.lit(0).cast("bigint"), bits)
@@ -260,6 +277,70 @@ def simhash(text: Column, bits: int = 16) -> Column:
         ),
         lambda acc: acc["v"],
     )
+
+
+def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", bits: int = 60,
+                  n_bands: int = 4, max_hamming: int = 3,
+                  shingle_k: int = 3) -> DataFrame:
+    """SimHash near-dup pairs via banded Hamming LSH — the third member of
+    the near-dup family (exact sha / MinHash Jaccard / SimHash Hamming).
+
+    Pigeonhole guarantee: with ``n_bands`` equal-width bands and
+    ``max_hamming <= n_bands - 1``, any pair within the Hamming threshold
+    shares at least one identical band, so the banded candidate join has
+    EXACT recall vs the all-pairs spec (the DuckDB oracle brute-forces that
+    spec; results match row-for-row, no approximation to excuse).
+
+    Scale shape: the only wide op is a self-equi-join on (band, band_value)
+    — 2^(bits/n_bands) buckets per band.  At corpus scale pick
+    ``bits``/``n_bands`` so buckets stay fine-grained (e.g. 60/4 -> 15-bit
+    bands = 32k buckets; AQE skew-join splits residual hot buckets, conf in
+    session.py).  Candidates shuffle only (id, simhash) — never text.
+    ``bits`` is capped at 62 to keep band arithmetic and the Hamming XOR in
+    non-negative BIGINT range on both engines.
+
+    Reference analogue: the pair-generating blueprint of the MinHash LSH
+    self-join (this file, minhash_pairs) applied to the Hamming metric;
+    reference's own near-dup check is single-key equality
+    (/root/reference/cfht2caom2/instruments.py:838 merge discipline).
+    """
+    if bits % n_bands:
+        raise ValueError(f"bits={bits} not divisible by n_bands={n_bands}")
+    if bits > 62:
+        raise ValueError("bits > 62 would overflow signed BIGINT band math")
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_bands >= {max_hamming + 1} "
+            "for exact banded recall")
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        simhash(F.col(text_col), bits=bits,
+                features_fn=lambda t: word_shingles(t, k=shingle_k),
+                hash_fn=hash60).alias("_sh"))
+    bands = sh.select(
+        "_id", "_sh",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("_sh"), b * band_bits)
+                .bitwiseAND(F.lit(mask)).alias("val"))
+            for b in range(n_bands)])).alias("bv"))
+    left = bands.select(F.col("_id").alias("id_a"),
+                        F.col("_sh").alias("sh_a"), "bv")
+    right = bands.select(F.col("_id").alias("id_b"),
+                         F.col("_sh").alias("sh_b"), "bv")
+    cand = (left.join(right, "bv")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b")
+            .distinct())
+    return (cand
+            .withColumn("hamming",
+                        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
 
 
 # --- transitive closure (cluster labeling) -------------------------------------

@@ -586,8 +586,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash(F.col("text"), bits=16).alias("simhash16"))
 
 
-Q_SIMHASH_SQL = f"""
-WITH w AS (
+def _simhash_cte(bits: int, out_col: str) -> str:
+    """DuckDB twin of operators.dedup.simhash at ``bits`` — CTE chain ending
+    in sh(doc_id, {out_col})."""
+    return f"""w AS (
   SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
 ),
 h AS (
@@ -596,12 +598,73 @@ h AS (
 bits AS (
   SELECT doc_id, b,
          sum(CASE WHEN (hh >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-  FROM h, UNNEST(generate_series(0, 15)) AS u(b)
+  FROM h, UNNEST(generate_series(0, {bits - 1})) AS u(b)
   GROUP BY doc_id, b
-)
-SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash16
-FROM bits GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT
+           AS {out_col}
+  FROM bits GROUP BY doc_id
+)"""
+
+
+Q_SIMHASH_SQL = f"""
+WITH {_simhash_cte(16, "simhash16")}
+SELECT doc_id, simhash16 FROM sh
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash banded Hamming near-dup pairs (documents)
+# --------------------------------------------------------------------------
+
+SH_BITS, SH_BANDS, SH_MAX_HAMMING = 60, 4, 3
+
+_LTOKS = (r"list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), "
+          r"x -> x <> '')")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance — banded LSH join with
+    EXACT recall at hamming <= n_bands-1 (pigeonhole), so the brute-force
+    all-pairs oracle matches row-for-row.  60-bit shingle simhash: on this
+    corpus real near-dups sit at hamming 1-7 with the random background at
+    15+, so the <=3 cut is a clean separator."""
+    from ..operators.dedup import simhash_pairs
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return simhash_pairs(docs, bits=SH_BITS, n_bands=SH_BANDS,
+                         max_hamming=SH_MAX_HAMMING)
+
+
+def _simhash60_shingle_cte() -> str:
+    """DuckDB twin of simhash(bits=60, features=3-shingles, hash=hash60):
+    CTE chain ending in sh(doc_id, s60)."""
+    return f"""t AS (
+  SELECT doc_id, {_shingles_sql(_LTOKS, 3)} AS shl FROM documents
+),
+feat AS (SELECT doc_id, unnest(shl) AS s FROM t),
+hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS v FROM feat),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+  FROM hh, UNNEST(generate_series(0, {SH_BITS - 1})) AS u(b)
+  GROUP BY doc_id, b
+),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN sgn > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS s60
+  FROM bits GROUP BY doc_id
+)"""
+
+
+Q_SIMHASH_PAIRS_SQL = f"""
+WITH {_simhash60_shingle_cte()}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.s60, b.s60))::INT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s60, b.s60)) <= {SH_MAX_HAMMING}
 """
 
 
@@ -1142,6 +1205,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_jaccard_pairs": q_jaccard_pairs,
     "q_minhash_pairs": q_minhash_pairs,
     "q_simhash": q_simhash,
+    "q_simhash_pairs": q_simhash_pairs,
     "q_cosine_topk": q_cosine_topk,
     "q_ann_lsh": q_ann_lsh,
     "q_embedding_neardup": q_embedding_neardup,
@@ -1183,6 +1247,7 @@ ORACLES: dict[str, str] = {
     "q_minhash_pairs": Q_MINHASH_PAIRS_SQL,
     "q_dedup_clusters": Q_DEDUP_CLUSTERS_SQL,
     "q_simhash": Q_SIMHASH_SQL,
+    "q_simhash_pairs": Q_SIMHASH_PAIRS_SQL,
     "q_cosine_topk": Q_COSINE_TOPK_SQL,
     "q_ann_lsh": Q_ANN_LSH_SQL,
     "q_embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,

@@ -775,3 +775,31 @@ def test_canonical_url_custom_tracking_params(spark):
     ).collect()[0]
     assert got["default"] == "https://a.com/repo?ref=main&page=2"
     assert got["agg"] == "https://a.com/repo?page=2"
+
+
+def test_simhash_pairs_banded_hamming(spark):
+    """Banded SimHash near-dup join: near-identical docs pair up within the
+    Hamming cut, unrelated docs don't, and the parameter guards that keep
+    banded recall EXACT (pigeonhole needs n_bands > max_hamming) raise."""
+    import pytest
+
+    from cfht2caom2_spark.operators.dedup import simhash_pairs
+
+    base = " ".join(f"tok{i % 97} word{i % 31}" for i in range(120))
+    rows = [
+        (1, base),
+        (2, base + " extra trailing bit"),           # near-dup of 1
+        (3, " ".join(f"zz{i} qq{i % 7}" for i in range(150))),  # unrelated
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_pairs(docs).collect()}
+    assert (1, 2) in got and got[(1, 2)] <= 3
+    assert not any(3 in p for p in got)
+
+    with pytest.raises(ValueError, match="divisible"):
+        simhash_pairs(docs, bits=50, n_bands=4)
+    with pytest.raises(ValueError, match="overflow"):
+        simhash_pairs(docs, bits=64, n_bands=4)
+    with pytest.raises(ValueError, match="exact banded recall"):
+        simhash_pairs(docs, n_bands=4, max_hamming=4)
