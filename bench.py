@@ -37,7 +37,7 @@ BENCH_QUERIES = [
     "q_lang_report",
     "q_scrub_pii", "q_dedup_exact", "q_dedup_first_wins", "q_minhash_pairs",
     "q_simhash", "q_cosine_topk", "q_ann_lsh", "q_ivf_topk",
-    "q_embedding_neardup", "q_source_lang_consensus", "q_cube_report",
+    "q_embedding_neardup", "q_semantic_keep_one", "q_source_lang_consensus", "q_cube_report",
     "q_pricing_report",
     "q_revenue_by_nation", "q_window_backfill", "q_anti_join_resume",
     "q_semi_join", "q_incremental_window", "q_topk_users",

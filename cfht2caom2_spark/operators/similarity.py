@@ -131,6 +131,29 @@ def ivf_topk_grouped(corpus: DataFrame, queries: DataFrame,
     )
 
 
+def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.95,
+                            n_planes: int = 8) -> DataFrame:
+    """Verified embedding near-dup pairs (id_a < id_b, cos >= threshold)
+    restricted to a shared LSH sign bucket — the pair generator behind both
+    loser-set removal and SemDeDup cluster dedup.  At scale the bucket join
+    bounds candidate pairs to ~N^2/2^planes; each vector has exactly one
+    bucket so no pair is generated twice."""
+    b = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        sign_bucket(F.col(vec_col), n_planes).alias("_bucket"),
+    )
+    return (
+        b.alias("l").join(b.alias("r"), "_bucket")
+        .filter(F.col("l._id") < F.col("r._id"))
+        .withColumn("cos", cosine(F.col("l._v"), F.col("r._v")))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
+                "cos")
+    )
+
+
 def embedding_neardup_losers(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              threshold: float = 0.95,
@@ -139,20 +162,40 @@ def embedding_neardup_losers(df: DataFrame, id_col: str = "vec_id",
     cosine-similar to an earlier (smaller-id) vector in the same sign bucket.
 
     The semantic-dedup sibling of the MinHash text path: bucket (narrow) ->
-    in-bucket self-join (the one shuffle) -> verify -> earliest wins.  At
-    scale the bucket join bounds candidate pairs to ~N^2/2^planes.
+    in-bucket self-join (the one shuffle) -> verify -> earliest wins.
     """
-    b = df.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
-        sign_bucket(F.col(vec_col), n_planes).alias("_bucket"),
+    pairs = embedding_neardup_pairs(df, id_col, vec_col, threshold, n_planes)
+    return pairs.select(F.col("id_b").alias("loser_id")).distinct()
+
+
+def semantic_keep_one(df: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      threshold: float = 0.95,
+                      n_planes: int = 8) -> DataFrame:
+    """SemDeDup-style cluster dedup (Abbas et al. 2023: group
+    semantically-near docs, keep one representative per group): connected
+    components over the verified near-dup pair graph, representative = min
+    id.  Returns one row per input vector — (id, cluster, is_kept) — so
+    singletons keep themselves.
+
+    Chain-correct where pair dominance isn't: A~B, B~C, A!~C still
+    collapses to one kept doc (component min), the same argument as
+    cluster_losers for MinHash text dedup (operators/dedup.py).  Wide ops:
+    the bucket self-join + CC rounds over the EDGE set only; vectors never
+    ride the iteration."""
+    from .dedup import connected_components
+
+    pairs = embedding_neardup_pairs(df, id_col, vec_col, threshold, n_planes)
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    ids = df.select(F.col(id_col))
+    return (
+        ids.join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("cluster"),
+            (F.coalesce("component", F.col(id_col)) == F.col(id_col))
+            .alias("is_kept"))
     )
-    pairs = (
-        b.alias("l").join(b.alias("r"), "_bucket")
-        .filter(F.col("l._id") < F.col("r._id"))
-        .withColumn("cos", cosine(F.col("l._v"), F.col("r._v")))
-        .filter(F.col("cos") >= threshold)
-    )
-    return pairs.select(F.col("r._id").alias("loser_id")).distinct()
 
 
 def lsh_ann(corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id",

@@ -766,6 +766,46 @@ SELECT DISTINCT id_b AS loser_id FROM pairs WHERE cos >= {EMB_DEDUP_THRESHOLD}
 """
 
 
+def q_semantic_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster dedup over embeddings: connected components of the
+    cosine near-dup graph, keep the min-id representative per cluster; one
+    row per vector (singletons keep themselves)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.semantic_keep_one(
+        emb, threshold=EMB_DEDUP_THRESHOLD, n_planes=8)
+
+
+Q_SEMANTIC_KEEP_ONE_SQL = f"""
+WITH RECURSIVE b AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+),
+pairs AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+    list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+      / greatest(sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[])),
+               1e-12) AS cos
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+),
+p2 AS (SELECT id_a, id_b FROM pairs WHERE cos >= {EMB_DEDUP_THRESHOLD}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p2
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM p2
+),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+SELECT e.vec_id,
+       coalesce(c.component, e.vec_id)::BIGINT AS cluster,
+       (coalesce(c.component, e.vec_id) = e.vec_id) AS is_kept
+FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+"""
+
+
 # --------------------------------------------------------------------------
 # relational operator checks (TPC-H-ish tables)
 # --------------------------------------------------------------------------
@@ -1209,6 +1249,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_cosine_topk": q_cosine_topk,
     "q_ann_lsh": q_ann_lsh,
     "q_embedding_neardup": q_embedding_neardup,
+    "q_semantic_keep_one": q_semantic_keep_one,
     "q_ivf_topk": q_ivf_topk,
     "q_source_lang_consensus": q_source_lang_consensus,
     "q_cube_report": q_cube_report,
@@ -1251,6 +1292,7 @@ ORACLES: dict[str, str] = {
     "q_cosine_topk": Q_COSINE_TOPK_SQL,
     "q_ann_lsh": Q_ANN_LSH_SQL,
     "q_embedding_neardup": Q_EMBEDDING_NEARDUP_SQL,
+    "q_semantic_keep_one": Q_SEMANTIC_KEEP_ONE_SQL,
     "q_ivf_topk": Q_ANN_LSH_SQL,
     "q_source_lang_consensus": Q_SOURCE_LANG_CONSENSUS_SQL,
     "q_cube_report": Q_CUBE_REPORT_SQL,

@@ -803,3 +803,25 @@ def test_simhash_pairs_banded_hamming(spark):
         simhash_pairs(docs, bits=64, n_bands=4)
     with pytest.raises(ValueError, match="exact banded recall"):
         simhash_pairs(docs, n_bands=4, max_hamming=4)
+
+
+def test_semantic_keep_one_chain_collapse(spark):
+    """SemDeDup cluster dedup is chain-correct: A~B and B~C with A!~C still
+    collapses to ONE kept representative (pair dominance would keep C);
+    singletons keep themselves; one row per input vector."""
+    import math
+
+    from cfht2caom2_spark.operators.similarity import semantic_keep_one
+
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    rows = [(1, vec(5)), (2, vec(25)), (3, vec(45)),   # chain at cos20°≈.94
+            (4, vec(85))]                              # singleton
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: (r["cluster"], r["is_kept"])
+           for r in semantic_keep_one(emb, threshold=0.9,
+                                      n_planes=2).collect()}
+    assert out == {1: (1, True), 2: (1, False), 3: (1, False),
+                   4: (4, True)}
