@@ -194,12 +194,26 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
         from ..operators.spans import remove_repeated_spans
 
         row_key = _row_key(id_col, order_col)
-        span_cleaned = remove_repeated_spans(
+        # the span operator fans its input into the window-key stream AND
+        # the reassembly join; the branches prune different columns, so
+        # Catalyst plans TWO near-identical dropDuplicates exchanges of the
+        # full text (no ReusedExchange across differently-pruned
+        # aggregates).  A lazy localCheckpoint materializes the slim
+        # (id, ord, text) frame once and both branches read the blocks —
+        # at corpus scale that's one text shuffle instead of two.  Same
+        # preemption caveat as the CC rounds (operators/dedup.py): on
+        # preemptible executors switch to checkpoint() with a checkpoint
+        # dir.
+        span_input = (
             df.withColumn("_sp_id", row_key)
             .select("_sp_id", F.col(order_col).alias("_sp_ord"),
                     "extracted_text")
             .filter(F.col("extracted_text").isNotNull())
-            .dropDuplicates(["_sp_id"]),
+            .dropDuplicates(["_sp_id"])
+            .localCheckpoint(eager=False)
+        )
+        span_cleaned = remove_repeated_spans(
+            span_input,
             id_col="_sp_id", text_col="extracted_text",
             k=profile.span_k, min_count=profile.span_min_count,
             key_fn=lambda c: F.xxhash64(c), order_col="_sp_ord",
