@@ -236,6 +236,16 @@ def hash60(feature: Column) -> Column:
     return F.conv(F.substring(F.md5(feature), 1, 15), 16, 10).cast("bigint")
 
 
+def hash60_fast(feature: Column) -> Column:
+    """Production feature hash for simhash: xxhash64 (JVM intrinsic, no hex
+    round-trip / BigInteger) masked to the low 60 bits so band math stays in
+    non-negative BIGINT range.  Different hash family than hash60, so
+    borderline Hamming distances shift — the near-dup SET it finds is
+    equivalent, not bit-identical (pytest pins recall of the md5 path's
+    pairs at a margin below the cut)."""
+    return F.xxhash64(feature).bitwiseAND(F.lit((1 << 60) - 1))
+
+
 def simhash(text: Column, bits: int = 16, features_fn=None,
             hash_fn=None) -> Column:
     """Per-row SimHash — pure array expressions, no shuffle (Charikar
@@ -282,7 +292,7 @@ def simhash(text: Column, bits: int = 16, features_fn=None,
 def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", bits: int = 60,
                   n_bands: int = 4, max_hamming: int = 3,
-                  shingle_k: int = 3) -> DataFrame:
+                  shingle_k: int = 3, hash_fn=None) -> DataFrame:
     """SimHash near-dup pairs via banded Hamming LSH — the third member of
     the near-dup family (exact sha / MinHash Jaccard / SimHash Hamming).
 
@@ -319,7 +329,13 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("_id"),
         simhash(F.col(text_col), bits=bits,
                 features_fn=lambda t: word_shingles(t, k=shingle_k),
-                hash_fn=hash60).alias("_sh"))
+                hash_fn=hash_fn or hash60).alias("_sh"))
+    # both sides of the banded self-join would otherwise re-run the whole
+    # shingle+hash+fold signature from the scan (2x the dominant cost);
+    # materialize the slim (id, 8-byte simhash) frame once — at corpus
+    # scale this is the same pay-once discipline as the minhash signature
+    # persist in the pipeline
+    sh = sh.localCheckpoint(eager=False)
     bands = sh.select(
         "_id", "_sh",
         F.explode(F.array(*[

@@ -797,6 +797,15 @@ def test_simhash_pairs_banded_hamming(spark):
     assert (1, 2) in got and got[(1, 2)] <= 3
     assert not any(3 in p for p in got)
 
+    # production-hash swap (hash60_fast = xxhash64 masked to 60 bits):
+    # different hash family, same near-dup verdict for a clear pair —
+    # the model-swap-contract pattern (langid/KenLM seams) applied to the
+    # feature hash
+    from cfht2caom2_spark.operators.dedup import hash60_fast
+    fast = {(r["id_a"], r["id_b"])
+            for r in simhash_pairs(docs, hash_fn=hash60_fast).collect()}
+    assert (1, 2) in fast and not any(3 in p for p in fast)
+
     with pytest.raises(ValueError, match="divisible"):
         simhash_pairs(docs, bits=50, n_bands=4)
     with pytest.raises(ValueError, match="overflow"):
