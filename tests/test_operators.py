@@ -798,12 +798,13 @@ def test_simhash_pairs_banded_hamming(spark):
     assert not any(3 in p for p in got)
 
     # production-hash swap (hash60_fast = xxhash64 masked to 60 bits):
-    # different hash family, same near-dup verdict for a clear pair —
-    # the model-swap-contract pattern (langid/KenLM seams) applied to the
-    # feature hash
+    # different hash family, so exact bit margins shift on a ~240-feature
+    # doc — assert the near/far ORDERING survives at a wider cut (near-dup
+    # well under it, unrelated doc well over), the contract that matters
     from cfht2caom2_spark.operators.dedup import hash60_fast
     fast = {(r["id_a"], r["id_b"])
-            for r in simhash_pairs(docs, hash_fn=hash60_fast).collect()}
+            for r in simhash_pairs(docs, hash_fn=hash60_fast,
+                                   n_bands=12, max_hamming=10).collect()}
     assert (1, 2) in fast and not any(3 in p for p in fast)
 
     with pytest.raises(ValueError, match="divisible"):
