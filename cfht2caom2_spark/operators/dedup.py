@@ -130,6 +130,10 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col).alias("_id"),
         minhash_signature(F.col(text_col), num_perms, k, hash_fn).alias("_sig"),
     )
+    # both sides of the bucket self-join would re-run the shingle+minhash
+    # fold from the input otherwise — materialize the slim (id, 32-long)
+    # signature frame once (same pay-once discipline as simhash_pairs)
+    sig = sig.localCheckpoint(eager=False)
     banded = sig.select(
         "_id",
         F.explode(F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), lambda b:
