@@ -50,7 +50,7 @@ BENCH_QUERIES = [
     "q_repeated_spans_fast", "q_span_scrub", "q_span_scrub_fast",
     "q_stratified_sample", "q_mixture_report",
     "q_quality_score", "q_quality_score_trained", "q_simhash_pairs",
-    "q_bigram_counts", "q_vocab_counts",
+    "q_bigram_counts", "q_vocab_counts", "q_char_bigram_counts",
     "q_url_canonical",
     "q_pipeline_flagship",
 ]

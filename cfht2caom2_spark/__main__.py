@@ -46,6 +46,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="canonicalize urls at ingress (strip UTM/click-id "
                         "params, fragments) so campaign variants share one "
                         "identity before dedup")
+    b.add_argument("--lm-counts", default=None,
+                   help="perplexity-LM count JSON (inline, or @path) as "
+                        "produced by the train-lm mode; default keeps the "
+                        "seed-corpus model")
     b.add_argument("--quality-weights", default=None,
                    help="quality-score weight JSON (inline, or @path to a "
                         "file) as produced by the train-quality mode; "
@@ -81,6 +85,16 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--rates", required=True,
                    help='JSON lang -> keep rate, e.g. \'{"en":0.6,"zh":0.2}\'')
     m.add_argument("--default-rate", type=float, default=0.0)
+
+    tl = sub.add_parser("train-lm",
+                        help="fit the char-bigram perplexity LM from a "
+                             "decisions store (CCNet recipe: train on your "
+                             "own kept text); prints the count JSON that "
+                             "batch mode accepts via --lm-counts")
+    tl.add_argument("--decisions", required=True,
+                    help="decisions parquet dir")
+    tl.add_argument("--kept-only", action="store_true",
+                    help="train on keep=true rows only")
 
     tq = sub.add_parser("train-quality",
                         help="fit quality-score weights (LR over the six "
@@ -131,13 +145,23 @@ def main(argv: list[str] | None = None) -> int:
                     qw = json.load(fh)
             else:
                 qw = json.loads(args.quality_weights)
+        lm = None
+        if args.lm_counts:
+            from .functions.perplexity import lm_counts_from_json
+
+            if args.lm_counts.startswith("@"):
+                with open(args.lm_counts[1:]) as fh:
+                    lm = lm_counts_from_json(fh.read())
+            else:
+                lm = lm_counts_from_json(args.lm_counts)
         result = run_batch(spark, pages, args.out, profile=profile,
                            snapshot_id=args.snapshot_id,
                            resume=not args.no_resume,
                            dedupe=not args.no_dedupe,
                            previews=not args.no_previews,
                            benchmark=benchmark,
-                           quality_weights=qw)
+                           quality_weights=qw,
+                           ppl_model=lm)
         print(json.dumps(result))
     elif args.mode == "state":
         from .sources.table import open_table
@@ -164,6 +188,18 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(assemble_mixture(
             spark, args.decisions, args.out,
             rates=json.loads(args.rates), default_rate=args.default_rate)))
+    elif args.mode == "train-lm":
+        from .functions.perplexity import corpus_lm_counts, lm_counts_to_json
+
+        decisions = spark.read.parquet(args.decisions)
+        if args.kept_only:
+            decisions = decisions.filter("keep")
+        # the scrubbed artifact is what the corpus trains on; lang_pred is
+        # the model's language key
+        text_col = ("scrubbed_text" if "scrubbed_text" in decisions.columns
+                    else "extracted_text")
+        print(lm_counts_to_json(corpus_lm_counts(decisions,
+                                                 text_col=text_col)))
     elif args.mode == "train-quality":
         from .functions.quality import train_quality_weights
 

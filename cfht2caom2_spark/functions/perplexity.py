@@ -34,14 +34,25 @@ _RE_WS = re.compile(r"\s+")
 class BigramLM:
     """Per-language add-one char-bigram LM.  Pure, picklable, broadcastable."""
 
-    def __init__(self, corpora: dict[str, str] | None = None):
-        corpora = corpora or CORPORA
+    def __init__(self, corpora: dict[str, str] | None = None,
+                 counts: dict[str, tuple[dict, dict]] | None = None):
+        """Build from seed ``corpora`` strings (default) or directly from
+        ``counts`` — {lang: (bigram->count, char->count)} as produced by
+        ``train_bigram_lm``'s Spark aggregation or any equivalent counter.
+        Both routes share the SAME smoothing formula, so a model trained on
+        a corpus string equals a model built from that string's counts."""
+        if counts is None:
+            corpora = corpora or CORPORA
+            counts = {}
+            for lang, corpus in corpora.items():
+                text = " " + _RE_WS.sub(" ", corpus.lower()) + " "
+                counts[lang] = (
+                    Counter(text[i: i + 2] for i in range(len(text) - 1)),
+                    Counter(text),
+                )
         self.models: dict[str, dict[str, float]] = {}
         self.floors: dict[str, float] = {}
-        for lang, corpus in corpora.items():
-            text = " " + _RE_WS.sub(" ", corpus.lower()) + " "
-            bigrams = Counter(text[i : i + 2] for i in range(len(text) - 1))
-            unigrams = Counter(text)
+        for lang, (bigrams, unigrams) in counts.items():
             vocab = len(unigrams) + 1
             self.models[lang] = {
                 bg: math.log2((c + 1) / (unigrams[bg[0]] + vocab))
@@ -239,3 +250,104 @@ def with_perplexity(df, spark: SparkSession, text_col: str = "extracted_text",
                     lang_col: str = "lang_pred", model: BigramLM | None = None):
     udf = perplexity_udf(spark, model)
     return df.withColumn("ppl", udf(F.col(text_col), F.col(lang_col)))
+
+
+# ---------------------------------------------------------------------------
+# corpus-scale training
+# ---------------------------------------------------------------------------
+
+def char_bigram_counts(df, text_col: str = "extracted_text",
+                       lang_col: str = "lang_pred"):
+    """(lang, bigram, n) over the whitespace-normalized, lower-cased,
+    space-padded text — EXACTLY the counting the seed-corpus constructor
+    does per language, expressed as JVM columns: one transform/explode and
+    one map-side-combined groupBy, so at corpus scale the shuffle carries
+    only (lang, bigram) partial counts (bounded by charset², never by
+    corpus size).
+
+    Reference analogue: the per-collection statistics pass that derives
+    model inputs from the payload itself (espadons energy bounds,
+    /root/reference/cfht2caom2/espadons_energy_augmentation.py:139-153).
+    """
+    norm = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "),
+        F.lit(" "))
+    base = (df.filter(F.col(text_col).isNotNull()
+                      & F.col(lang_col).isNotNull())
+            .select(F.col(lang_col).alias("lang"), norm.alias("_n")))
+    # zip of shifted slices (word_shingles' O(n) form): F.substr by
+    # codepoint index re-scans the UTF-8 string per call — O(n²)/doc
+    chars = F.filter(F.split(F.col("_n"), ""), lambda c: c != F.lit(""))
+    n = F.size(chars)
+    win = F.greatest(n - 1, F.lit(1))
+    pair = F.zip_with(F.slice(chars, 1, win), F.slice(chars, 2, win),
+                      lambda a, b: F.concat(a, b))
+    bigrams = base.select(
+        "lang",
+        F.explode(F.when(n >= 2, pair)
+                  .otherwise(F.array().cast("array<string>"))).alias("bigram"))
+    return (bigrams.groupBy("lang", "bigram")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def char_unigram_counts(df, text_col: str = "extracted_text",
+                        lang_col: str = "lang_pred"):
+    """(lang, char, n) over the same normalized padded text."""
+    norm = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "),
+        F.lit(" "))
+    base = (df.filter(F.col(text_col).isNotNull()
+                      & F.col(lang_col).isNotNull())
+            .select(F.col(lang_col).alias("lang"), norm.alias("_n")))
+    chars = base.select(
+        "lang", F.explode(F.split("_n", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    return chars.groupBy("lang", "ch").agg(F.count(F.lit(1)).alias("n"))
+
+
+def train_bigram_lm(df, text_col: str = "extracted_text",
+                    lang_col: str = "lang_pred") -> "BigramLM":
+    """Train the perplexity LM FROM the corpus (the CCNet recipe: fit the
+    LM on your own kept text, score against it) — the same close-the-loop
+    discipline as train_quality_weights: counting is distributed
+    (map-side-combined aggregations whose shuffle is bounded by charset²),
+    only the per-language count tables land on the driver, and the model
+    construction reuses the seed-corpus smoothing verbatim, so a model
+    trained on one document equals BigramLM(corpora={lang: doc}) exactly
+    (pytest-pinned).  The result drops into with_perplexity(model=...) /
+    batch --lm-counts with no plan change."""
+    return BigramLM(counts=corpus_lm_counts(df, text_col, lang_col))
+
+
+def corpus_lm_counts(df, text_col: str = "extracted_text",
+                     lang_col: str = "lang_pred") -> dict:
+    """Run both count jobs and assemble {lang: (bigram->n, char->n)} on the
+    driver — the serializable intermediate the train-lm CLI prints."""
+    counts: dict[str, tuple[Counter, Counter]] = {}
+    for r in char_bigram_counts(df, text_col, lang_col).collect():
+        counts.setdefault(r["lang"], (Counter(), Counter()))[0][r["bigram"]] = r["n"]
+    for r in char_unigram_counts(df, text_col, lang_col).collect():
+        counts.setdefault(r["lang"], (Counter(), Counter()))[1][r["ch"]] = r["n"]
+    return counts
+
+
+def lm_counts_to_json(model_df_counts: dict) -> str:
+    """Serialize {lang: (bigram->n, char->n)} for the train-lm CLI."""
+    import json
+
+    return json.dumps({
+        lang: {"bigrams": dict(bg), "chars": dict(un)}
+        for lang, (bg, un) in model_df_counts.items()
+    })
+
+
+def lm_counts_from_json(payload: str) -> "BigramLM":
+    """Rebuild a trained model from the train-lm CLI's JSON."""
+    import json
+
+    raw = json.loads(payload)
+    counts = {lang: (Counter(d["bigrams"]), Counter(d["chars"]))
+              for lang, d in raw.items()}
+    return BigramLM(counts=counts)

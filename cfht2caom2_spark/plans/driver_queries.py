@@ -2105,6 +2105,35 @@ QUERIES["q_quality_score_trained"] = q_quality_score_trained
 ORACLES["q_quality_score_trained"] = Q_QUALITY_SCORE_TRAINED_SQL
 
 
+def q_char_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language char-bigram counts over normalized padded text — the
+    distributed counting stage of train_bigram_lm (functions/perplexity.py):
+    what the perplexity LM trains on when fit from the corpus itself.  The
+    shuffle carries only (lang, bigram) partial counts, bounded by charset²
+    regardless of corpus size."""
+    from ..functions.perplexity import char_bigram_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return char_bigram_counts(docs, text_col="text", lang_col="lang")
+
+
+Q_CHAR_BIGRAM_COUNTS_SQL = r"""
+WITH t AS (
+  SELECT lang,
+         ' ' || regexp_replace(lower(text), '\s+', ' ', 'g') || ' ' AS n
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+),
+bg AS (
+  SELECT lang, substr(n, u.i, 2) AS bigram
+  FROM t, UNNEST(generate_series(1, length(n) - 1)) AS u(i)
+)
+SELECT lang, bigram, count(*)::BIGINT AS n FROM bg GROUP BY lang, bigram
+"""
+
+QUERIES["q_char_bigram_counts"] = q_char_bigram_counts
+ORACLES["q_char_bigram_counts"] = Q_CHAR_BIGRAM_COUNTS_SQL
+
+
 # --------------------------------------------------------------------------
 # corpus bigram counts — LM-training statistics (CCNet trains its filter LM
 # on corpus text; this is the count-collection pass that feeds it)

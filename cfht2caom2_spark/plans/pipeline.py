@@ -421,7 +421,8 @@ def run_batch(spark: SparkSession, pages: DataFrame, out_dir: str,
               snapshot_id: int = 0, resume: bool = True,
               dedupe: bool = True, previews: bool = True,
               benchmark: DataFrame | None = None,
-              quality_weights: dict | None = None) -> dict:
+              quality_weights: dict | None = None,
+              ppl_model=None) -> dict:
     """Materializing driver: resume anti-join -> pipeline -> decisions +
     previews + lineage.  Decisions are written partitioned by day with
     dynamic partition overwrite, so re-running a day is idempotent
@@ -443,7 +444,8 @@ def run_batch(spark: SparkSession, pages: DataFrame, out_dir: str,
     decisions = build_pipeline(work, spark, profile, dedupe=dedupe,
                                persist_tracker=persisted,
                                benchmark=benchmark,
-                               quality_weights=quality_weights)
+                               quality_weights=quality_weights,
+                               ppl_model=ppl_model)
     decisions = decisions.withColumn(
         "p_day", F.date_format(F.col("warc_ts"), "yyyy-MM-dd")
     )

@@ -144,3 +144,57 @@ def test_adapters_fail_fast_without_libs(tmp_path):
 
         with pytest.raises(ImportError):
             KenLMModel({"en": str(blob)})
+
+
+def test_train_bigram_lm_matches_seed_constructor(spark):
+    """Corpus-scale LM training (the train-quality discipline applied to
+    the perplexity model): a model trained via the Spark counting jobs on
+    one document equals BigramLM(corpora={lang: doc}) EXACTLY — same
+    floors, same sorted id/logprob arrays, bitwise-equal perplexities —
+    so the distributed path can never drift from the seed-corpus
+    smoothing.  Also pins the JSON round-trip the train-lm CLI ships."""
+    import numpy as np
+
+    from cfht2caom2_spark.functions.perplexity import (BigramLM,
+                                                       corpus_lm_counts,
+                                                       lm_counts_from_json,
+                                                       lm_counts_to_json,
+                                                       train_bigram_lm)
+
+    doc = ("The quick brown fox jumps over the lazy dog.  Pack my box "
+           "with five dozen liquor jugs; amazingly few discotheques "
+           "provide jukeboxes.")
+    seed = BigramLM(corpora={"en": doc})
+    df = spark.createDataFrame([(doc, "en")],
+                               "extracted_text string, lang_pred string")
+    trained = train_bigram_lm(df)
+
+    assert trained.floors == seed.floors
+    for lang in seed._sorted:
+        assert np.array_equal(trained._sorted[lang][0], seed._sorted[lang][0])
+        assert np.array_equal(trained._sorted[lang][1], seed._sorted[lang][1])
+
+    probe = "few jugs of liquor for the quick dog"
+    assert (trained.perplexity_one(probe, "en")
+            == seed.perplexity_one(probe, "en"))
+
+    # JSON round trip (the CLI artifact): counts -> json -> model == direct
+    rt = lm_counts_from_json(lm_counts_to_json(corpus_lm_counts(df)))
+    assert rt.floors == trained.floors
+    for lang in trained._sorted:
+        assert np.array_equal(rt._sorted[lang][0], trained._sorted[lang][0])
+        assert np.array_equal(rt._sorted[lang][1], trained._sorted[lang][1])
+
+
+def test_train_bigram_lm_scores_in_domain_lower(spark):
+    """A corpus-trained LM prefers in-domain prose over character soup —
+    the CCNet selection signal the trained model exists to provide."""
+    from cfht2caom2_spark.functions.perplexity import train_bigram_lm
+    from cfht2caom2_spark.sources.pages import synth_pages
+    from cfht2caom2_spark.plans.pipeline import build_pipeline
+
+    dec = build_pipeline(synth_pages(spark, 300), spark, dedupe=False)
+    lm = train_bigram_lm(dec.filter("keep"), text_col="scrubbed_text")
+    kept_text = dec.filter("keep").select("scrubbed_text").first()[0]
+    assert lm.perplexity_one(kept_text, "en") < lm.perplexity_one(
+        "qzx jkw vvq pzf xqj wkz qqq zzz xxx jjj", "en")
