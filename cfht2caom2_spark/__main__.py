@@ -65,6 +65,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--table", required=True, help="SnapshotTable root")
     s.add_argument("--out", required=True)
     s.add_argument("--bookmark", required=True)
+    s.add_argument("--history-dedup", action="store_true",
+                   help="demote increment rows whose content an earlier "
+                        "tick already kept (bitmap-prefiltered exact check "
+                        "against the accumulated store)")
 
     st = sub.add_parser("stream", help="structured-streaming mode")
     st.add_argument("--table", required=True)
@@ -168,7 +172,8 @@ def main(argv: list[str] | None = None) -> int:
         from .streaming.incremental import process_increment
 
         result = process_increment(spark, open_table(spark, args.table),
-                                   args.out, args.bookmark)
+                                   args.out, args.bookmark,
+                                   history_dedup=args.history_dedup)
         print(json.dumps(result))
     elif args.mode == "stream":
         from .sources.table import SnapshotTable, open_table

@@ -49,7 +49,8 @@ def write_bookmark(path: str, snapshot_id: int) -> None:
 def process_increment(spark: SparkSession, table: SnapshotTable, out_dir: str,
                       bookmark_path: str,
                       profile: RuleProfile = DEFAULT_PROFILE,
-                      dedupe: bool = False) -> dict:
+                      dedupe: bool = False,
+                      history_dedup: bool = False) -> dict:
     """One state-mode tick: rows in (bookmark, current] -> decisions.
 
     Exactly-once EFFECT under at-least-once execution: the tick's output
@@ -73,6 +74,20 @@ def process_increment(spark: SparkSession, table: SnapshotTable, out_dir: str,
     persisted: list = []
     decisions = build_pipeline(inc.drop("p_day"), spark, profile,
                                dedupe=dedupe, persist_tracker=persisted)
+    if history_dedup:
+        # online cross-increment exact dedup: content already kept by a
+        # PRIOR tick demotes now instead of waiting for the offline
+        # compaction rewrite.  The accumulated store never shuffles — it
+        # reduces to a fixed-size membership bitmap; only bitmap candidates
+        # reach the exact confirmation join (operators/compact.py).
+        from ..operators.compact import demote_against_history
+
+        try:
+            history = spark.read.parquet(f"{out_dir}/decisions")
+        except Exception:
+            history = None     # first tick: nothing to dedup against
+        if history is not None:
+            decisions = demote_against_history(decisions, history)
     # metrics ride the write action — one execution per tick, not two
     obs = Observation("tick_metrics")
     decisions = decisions.observe(obs, F.count(F.lit(1)).alias("n"))

@@ -448,3 +448,84 @@ def test_cli_batch_routes_catalog_identifier(spark, tmp_path, monkeypatch):
     assert seen["identifier"] == "lake.web.pages"
     assert seen["snapshot_id"] is None          # --snapshot-id 0 -> full read
     assert spark.read.parquet(out + "/decisions").count() == 40
+
+
+def _mini_decisions(spark, rows):
+    """(url, warc_ts, sha, keep) -> decisions-shaped frame."""
+    import datetime
+
+    data = [(u, datetime.datetime(2025, 6, 1) + datetime.timedelta(seconds=s),
+             sha, k, [] if k else ["too_short"], "text of " + u if k else None)
+            for u, s, sha, k in rows]
+    return spark.createDataFrame(
+        data, "url string, warc_ts timestamp_ntz, extracted_sha256 string, "
+              "keep boolean, rules array<string>, scrubbed_text string")
+
+
+def test_demote_against_history_bitmap_semantics(spark):
+    """Online cross-increment dedup: an increment row whose content an
+    earlier tick KEPT demotes (exact_duplicate, keep flips, artifact
+    nulls); new content, dropped rows, and null-hash rows pass through.
+    The fixed-size bitmap prefilter is FN-free: a pathologically tiny
+    bitmap (every row a candidate) yields the IDENTICAL result."""
+    from cfht2caom2_spark.operators.compact import demote_against_history
+
+    hist = _mini_decisions(spark, [
+        ("https://h/1", 0, "sha_A", True),
+        ("https://h/2", 1, "sha_B", False),   # dropped: not a blocker
+    ])
+    inc = _mini_decisions(spark, [
+        ("https://i/1", 10, "sha_A", True),    # dup of kept history -> demote
+        ("https://i/2", 11, "sha_B", True),    # hist row was dropped -> keep
+        ("https://i/3", 12, "sha_C", True),    # new content -> keep
+        ("https://i/4", 13, "sha_A", False),   # already dropped -> untouched
+        ("https://i/5", 14, None, True),       # null hash -> untouched
+    ])
+
+    def run(bits):
+        out = {r["url"]: r for r in
+               demote_against_history(inc, hist, bits=bits).collect()}
+        return out
+
+    out = run(1 << 22)
+    assert len(out) == 5
+    assert out["https://i/1"]["keep"] is False
+    assert "exact_duplicate" in out["https://i/1"]["rules"]
+    assert out["https://i/1"]["scrubbed_text"] is None
+    assert out["https://i/2"]["keep"] is True
+    assert out["https://i/3"]["keep"] is True
+    assert out["https://i/4"]["keep"] is False
+    assert "exact_duplicate" not in out["https://i/4"]["rules"]
+    assert out["https://i/5"]["keep"] is True
+
+    tiny = run(64)   # every bucket collides -> all rows candidates
+    for u in out:
+        assert (tiny[u]["keep"], tiny[u]["rules"]) == (
+            out[u]["keep"], out[u]["rules"]), u
+
+
+def test_state_tick_history_dedup(spark, tmp_path):
+    """Two state ticks with --history-dedup: content re-arriving in tick 2
+    demotes against tick 1's kept rows; tick 1 is untouched."""
+    table = SnapshotTable(f"{tmp_path}/pages")
+    table.append(synth_pages(spark, 60))
+    bm = str(tmp_path / "bm.json")
+    out = str(tmp_path / "out")
+    t1 = process_increment(spark, table, out, bm, history_dedup=True)
+    assert t1["processed"] == 60
+    # tick 2 re-crawls the same 60 pages a month later (same content)
+    table.append(synth_pages(spark, 60).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("interval 30 days")))
+    t2 = process_increment(spark, table, out, bm, history_dedup=True)
+    assert t2["processed"] == 60
+    store = spark.read.parquet(f"{out}/decisions")
+    demoted = store.filter(F.array_contains("rules", "exact_duplicate"))
+    kept_t1 = spark.read.parquet(f"{out}/decisions/since_snapshot=-1") \
+        .filter("keep").count()
+    # every tick-2 row whose content tick 1 kept is demoted, and the store
+    # keeps exactly one copy of each kept content (tick 1's)
+    assert demoted.count() == kept_t1
+    assert store.filter("keep").count() == kept_t1
+    # tick-1 partition untouched: no exact_duplicate rules there
+    assert spark.read.parquet(f"{out}/decisions/since_snapshot=-1") \
+        .filter(F.array_contains("rules", "exact_duplicate")).count() == 0
