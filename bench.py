@@ -302,6 +302,7 @@ _EXEC_EVIDENCE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def run_scaling_exec(n_rows: int = 1_000_000, n_windows: int = 3,
                      cores: int = 8, fan: int = 4,
                      steal_gate_pct: float = 1.0,
+                     spread_gate_pct: float = 15.0,
                      max_attempts: int = 12) -> None:
     """Multi-EXECUTOR N->4N evidence: 1 vs `fan` concurrent 8-core JVMs.
 
@@ -398,7 +399,17 @@ def run_scaling_exec(n_rows: int = 1_000_000, n_windows: int = 3,
         worst_steal = max([base.get("host_steal_pct", 0.0),
                            base_w.get("host_steal_pct", 0.0)]
                           + [r.get("host_steal_pct", 0.0) for r in fan_res])
-        clean = worst_steal < steal_gate_pct
+        # SECOND cleanliness signal (added round 5 after a banked window
+        # carried a 36%-slower straggler at 0.03% steal): the fan children
+        # are IDENTICAL jobs on disjoint equal hash-splits of one input,
+        # pinned to disjoint core ranges — their runtimes must agree.  A
+        # spread beyond spread_gate_pct can only be host interference the
+        # steal counter missed (split row counts differ < 0.5%), so the
+        # window is contended regardless of what /proc/stat claims.
+        secs = [r["sec"] for r in fan_res]
+        spread_pct = round(100 * (max(secs) / min(secs) - 1), 1)
+        clean = (worst_steal < steal_gate_pct
+                 and spread_pct < spread_gate_pct)
         win = {"window": w, "docs_per_sec_1x": base["docs_per_sec"],
                "docs_per_sec_1x_split": base_w["docs_per_sec"],
                "docs_per_sec_fan_total": round(thr_fan, 1),
@@ -409,6 +420,7 @@ def run_scaling_exec(n_rows: int = 1_000_000, n_windows: int = 3,
                "max_child_steal_pct": max(
                    r.get("host_steal_pct", 0) for r in fan_res),
                "worst_steal_pct": worst_steal,
+               "child_spread_pct": spread_pct,
                "clean": clean,
                "efficiency": eff,
                "efficiency_weak": eff_weak}
@@ -442,9 +454,14 @@ def run_scaling_exec(n_rows: int = 1_000_000, n_windows: int = 3,
         "rows": n_rows,
         "efficiency": _median(effs),
         "protocol": f"median over first {n_windows} CLEAN windows (every "
-                    f"JVM < {steal_gate_pct}% steal), launched until banked "
-                    f"or {max_attempts} attempts; pre-declared, "
-                    "round-3 advice",
+                    f"JVM < {steal_gate_pct}% steal AND fan-child runtime "
+                    f"spread < {spread_gate_pct}% — identical pinned "
+                    "children on disjoint equal splits must agree; spread "
+                    "criterion added round 5 after a banked window carried "
+                    "a 36% straggler at 0.03% steal), launched until "
+                    f"banked or {max_attempts} attempts",
+        "child_spread_pct_per_window": [
+            w.get("child_spread_pct") for w in windows],
         "n_clean_windows": len(clean_windows),
         "n_attempted_windows": len(windows),
         "clean_quorum_met": len(clean_windows) >= n_windows,
