@@ -1,0 +1,193 @@
+"""DSIR-style importance weighting for training-data selection.
+
+Public technique: Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling" (NeurIPS 2023).  Every raw document is scored by how
+much more likely its bag of word n-gram features is under a TARGET-domain
+distribution than under the RAW-corpus distribution; selection then keeps
+the highest-importance documents.  This is the standard recipe for "give me
+the web pages that look like Wikipedia" at corpus scale.
+
+Reference analogue: the reference picks which inputs deserve full processing
+with a categorical ladder over cheap per-record evidence
+(/root/reference/cfht2caom2/cfht_builder.py:77-140 chooses the name/metadata
+strategy per file); DSIR is the continuous, corpus-calibrated version of the
+same triage — rank every record by evidence that it belongs to the wanted
+class, then admit the top slice.
+
+Spark-first shape (scale notes, 100 TB):
+  * ONE distributed feature count computes BOTH distributions — the target
+    counter is a conditional aggregate (count_if) riding the same shuffle as
+    the raw counter, so the corpus is read and shuffled once, map-side
+    combined on the feature key.
+  * The per-feature weight table is BOUNDED before it leaves the aggregation
+    (``min_count`` HAVING prune in string-feature mode; fixed ``n_buckets``
+    modulus in hashed mode — the production path, same seam as
+    ``shingle_hash`` vs ``shingle_hash_fast``) and is explicitly
+    ``F.broadcast`` at the scoring join: the corpus never shuffles to meet it.
+  * Per-doc scoring is explode -> broadcast hash join -> ONE groupBy(doc)
+    shuffle whose payload is a single BIGINT partial sum per doc.
+
+Bitwise-parity discipline (why the weights are scaled BIGINTs, not log
+ratios): the DuckDB oracle compares doubles bitwise, and ln/exp are not
+guaranteed identically rounded across libms (see functions/quality.py's
+algebraic sigmoid note).  The importance contrast used here is the algebraic
+    lambda_f = (theta_t - theta_r) / (theta_t + theta_r)
+(monotone in the likelihood ratio theta_t/theta_r, range (-1, 1), built only
+from +,-,*,/ which ARE correctly rounded), fixed-point scaled by 10^6 and
+floored to BIGINT.  Per-doc importance is then an INTEGER sum — float
+summation order across partitions can no longer diverge between engines —
+and only the final per-doc density division returns to DOUBLE (one division,
+one rounding, identical everywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# fixed-point scale for the per-feature contrast; 1e6 keeps full single-count
+# resolution while |doc importance| stays far below 2^62 for any real doc
+LAMBDA_SCALE = 1_000_000
+
+# add-one smoothing numerator (Laplace); integer so the smoothed counts stay
+# exact BIGINTs until the final (correctly-rounded) divisions
+SMOOTH_ALPHA = 1
+
+
+def doc_features(text: Column, n_max: int = 2) -> Column:
+    """Word 1..n_max-gram features (lowercased whitespace tokens, space-joined
+    n-grams), multiplicity KEPT — DSIR scores the bag, not the set.  Pure
+    array expressions; stays in whole-stage codegen."""
+    toks = F.filter(F.split(F.lower(F.trim(text)), r"\s+"),
+                    lambda t: t != F.lit(""))
+    feats = toks
+    for n in range(2, n_max + 1):
+        win = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+        sliced = [F.slice(toks, j + 1, win) for j in range(n)]
+        gram = sliced[0]
+        for nxt in sliced[1:]:
+            gram = F.zip_with(gram, nxt,
+                              lambda a, b: F.concat_ws(" ", a, b))
+        feats = F.concat(feats, gram)
+    return feats
+
+
+def _exploded_features(docs: DataFrame, id_col: str, text_col: str,
+                       target_pred: Column, n_max: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col),
+        target_pred.alias("_is_target"),
+        F.explode_outer(doc_features(F.col(text_col), n_max))
+        .alias("feature"),
+    )
+
+
+def feature_weights(feats: DataFrame, min_count: int,
+                    hash_buckets: int | None = None) -> DataFrame:
+    """(feature, lambda_scaled) — the bounded importance-weight table.
+
+    String mode (``hash_buckets is None``): vocabulary pruned to features
+    with raw count >= min_count (the HAVING rides IN the aggregation, so the
+    singleton tail never leaves the combiner).  Hashed mode: features fold
+    to ``xxhash64 % hash_buckets`` FIRST, so the table is <= hash_buckets
+    rows by construction regardless of corpus size — the true DSIR hashing
+    trick and the production path.
+    """
+    f = feats.filter(F.col("feature").isNotNull())
+    if hash_buckets is not None:
+        f = f.withColumn("feature",
+                         F.pmod(F.xxhash64("feature"),
+                                F.lit(hash_buckets)).cast("string"))
+    counts = (
+        f.groupBy("feature")
+        .agg(F.count(F.lit(1)).alias("cr"),
+             F.count_if(F.col("_is_target")).alias("ct"))
+    )
+    if hash_buckets is None:
+        counts = counts.filter(F.col("cr") >= min_count)
+    totals = counts.agg(F.sum("ct").alias("t_tot"),
+                        F.sum("cr").alias("r_tot"),
+                        F.count(F.lit(1)).alias("v"))
+    # totals is ONE row — the crossJoin is a broadcast of three scalars, the
+    # in-plan alternative to a driver collect
+    withtot = counts.crossJoin(F.broadcast(totals))
+    alpha = F.lit(SMOOTH_ALPHA)
+    theta_t = ((F.col("ct") + alpha).cast("double")
+               / (F.col("t_tot") + alpha * F.col("v")).cast("double"))
+    theta_r = ((F.col("cr") + alpha).cast("double")
+               / (F.col("r_tot") + alpha * F.col("v")).cast("double"))
+    lam = (theta_t - theta_r) / (theta_t + theta_r)
+    return withtot.select(
+        "feature",
+        F.floor(lam * F.lit(float(LAMBDA_SCALE))).alias("lambda_scaled"),
+    )
+
+
+def importance_weights(docs: DataFrame, target_pred: Column,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n_max: int = 2, min_count: int = 5,
+                       hash_buckets: int | None = None) -> DataFrame:
+    """Per-document DSIR importance: (id, n_feats, importance_scaled,
+    importance).
+
+    ``importance_scaled`` = sum over the doc's features (multiplicity kept)
+    of the feature's fixed-point contrast — exact BIGINT arithmetic.
+    ``importance`` = importance_scaled / (LAMBDA_SCALE * max(n_feats, 1)):
+    the length-normalized density in (-1, 1), ONE double division at the
+    end.  Out-of-vocabulary features contribute 0 (documented DSIR
+    behavior: unseen features carry no evidence either way).
+    """
+    feats = _exploded_features(docs, id_col, text_col, target_pred, n_max)
+    lam = feature_weights(feats, min_count=min_count,
+                          hash_buckets=hash_buckets)
+    scoring = feats.filter(F.col("feature").isNotNull())
+    if hash_buckets is not None:
+        scoring = scoring.withColumn(
+            "feature",
+            F.pmod(F.xxhash64("feature"),
+                   F.lit(hash_buckets)).cast("string"))
+    per_doc = (
+        scoring
+        .join(F.broadcast(lam), "feature", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.coalesce(F.col("lambda_scaled"), F.lit(0)))
+            .alias("importance_scaled"),
+        )
+    )
+    # empty docs produce no features; join them back so every input row is
+    # scored (importance 0) — selection must see the whole corpus
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).cast("bigint").alias("n_feats"),
+            F.coalesce("importance_scaled", F.lit(0)).cast("bigint")
+            .alias("importance_scaled"),
+            (F.coalesce("importance_scaled", F.lit(0)).cast("double")
+             / (F.lit(float(LAMBDA_SCALE))
+                * F.greatest(F.coalesce("n_feats", F.lit(0)),
+                             F.lit(1)).cast("double")))
+            .alias("importance"),
+        )
+    )
+
+
+def select_top_k(weights: DataFrame, k: int,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Deterministic DSIR selection: the k highest-importance documents
+    (density desc, id asc tie-break).  The paper samples with Gumbel noise;
+    the deterministic top-k variant is used here so the oracle, the resume
+    path, and re-runs all agree bit-for-bit — sampled selection at scale is
+    the stratified-sampling operator's job (operators/sampling.py).
+
+    Scale note: a global top-k is a TreeAggregate-shaped pattern; Spark's
+    window-over-unpartitioned-ORDER BY would single-task it, so this sorts
+    only the (id, importance) projection and limits — the full corpus never
+    sorts, and k rows fit anywhere.
+    """
+    slim = weights.select(id_col, "importance", "importance_scaled")
+    return (slim.orderBy(F.col("importance").desc(), F.col(id_col))
+            .limit(k))

@@ -2312,3 +2312,115 @@ FROM u
 
 QUERIES["q_url_canonical"] = q_url_canonical
 ORACLES["q_url_canonical"] = Q_URL_CANONICAL_SQL
+
+
+# --------------------------------------------------------------------------
+# DSIR importance resampling — training-data selection (operators/dsir.py)
+# --------------------------------------------------------------------------
+
+DSIR_MIN_COUNT = 3      # string-mode vocab prune (raw count >= K)
+DSIR_TOP_K = 100        # selection size for q_dsir_sample
+DSIR_NMAX = 2           # word 1- and 2-gram features
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): every document scored by
+    the algebraic likelihood contrast of its word 1-2-gram bag under the
+    target domain (lang='en' — the "looks like Wikipedia" stand-in) vs the
+    raw corpus.  Fixed-point BIGINT feature weights keep the per-doc sum
+    exact so the DuckDB parity is bitwise (module docstring has the full
+    rationale)."""
+    from ..operators.dsir import importance_weights
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return importance_weights(docs, F.col("lang") == "en",
+                              id_col="doc_id", text_col="text",
+                              n_max=DSIR_NMAX, min_count=DSIR_MIN_COUNT)
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DSIR selection: the DSIR_TOP_K highest-importance docs
+    (density desc, doc_id tie-break) — the admit-the-top-slice step."""
+    from ..operators.dsir import importance_weights, select_top_k
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    w = importance_weights(docs, F.col("lang") == "en",
+                           id_col="doc_id", text_col="text",
+                           n_max=DSIR_NMAX, min_count=DSIR_MIN_COUNT)
+    return select_top_k(w, DSIR_TOP_K)
+
+
+_DSIR_TOKS = (r"list_filter(regexp_split_to_array(lower(trim(text)), "
+              r"'\s+'), x -> x <> '')")
+
+# features = unigrams || bigrams, multiplicity kept (the BAG, not the set)
+_DSIR_FEATS_CTE = f"""
+  SELECT doc_id, lang = 'en' AS is_target,
+         unnest(toks || CASE WHEN len(toks) >= 2 THEN
+                  list_transform(generate_series(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1])
+                ELSE []::VARCHAR[] END) AS feature
+  FROM (SELECT doc_id, lang, {_DSIR_TOKS} AS toks FROM documents)
+"""
+
+# operation order mirrors operators/dsir.py EXACTLY: every arithmetic step
+# is +,-,*,/ on explicitly-cast DOUBLEs (correctly rounded => bitwise equal),
+# the per-feature contrast is floored to BIGINT, and the per-doc sum is
+# integer — float summation order cannot diverge between engines
+_DSIR_WEIGHTS_CTE = f"""
+f AS ({_DSIR_FEATS_CTE.strip()}
+),
+c AS (
+  SELECT feature, count(*)::BIGINT AS cr,
+         count(*) FILTER (WHERE is_target)::BIGINT AS ct
+  FROM f GROUP BY feature HAVING count(*) >= {DSIR_MIN_COUNT}
+),
+tot AS (
+  SELECT sum(ct)::BIGINT AS t_tot, sum(cr)::BIGINT AS r_tot,
+         count(*)::BIGINT AS v
+  FROM c
+),
+lam AS (
+  SELECT feature,
+         floor(
+           (((ct + 1)::DOUBLE / (t_tot + 1 * v)::DOUBLE)
+            - ((cr + 1)::DOUBLE / (r_tot + 1 * v)::DOUBLE))
+           / (((ct + 1)::DOUBLE / (t_tot + 1 * v)::DOUBLE)
+              + ((cr + 1)::DOUBLE / (r_tot + 1 * v)::DOUBLE))
+           * (1000000)::DOUBLE
+         )::BIGINT AS lambda_scaled
+  FROM c, tot
+),
+s AS (
+  SELECT doc_id, count(*)::BIGINT AS n_feats,
+         sum(coalesce(lambda_scaled, 0))::BIGINT AS importance_scaled
+  FROM f LEFT JOIN lam USING (feature)
+  GROUP BY doc_id
+),
+w AS (
+  SELECT d.doc_id,
+         coalesce(s.n_feats, 0)::BIGINT AS n_feats,
+         coalesce(s.importance_scaled, 0)::BIGINT AS importance_scaled,
+         coalesce(s.importance_scaled, 0)::DOUBLE
+           / ((1000000)::DOUBLE
+              * greatest(coalesce(s.n_feats, 0), 1)::DOUBLE) AS importance
+  FROM documents d LEFT JOIN s USING (doc_id)
+)
+"""
+
+Q_DSIR_WEIGHTS_SQL = f"""
+WITH {_DSIR_WEIGHTS_CTE.strip()}
+SELECT doc_id, n_feats, importance_scaled, importance FROM w
+"""
+
+Q_DSIR_SAMPLE_SQL = f"""
+WITH {_DSIR_WEIGHTS_CTE.strip()}
+SELECT doc_id, importance, importance_scaled FROM w
+QUALIFY row_number() OVER (ORDER BY importance DESC, doc_id)
+        <= {DSIR_TOP_K}
+"""
+
+QUERIES["q_dsir_weights"] = q_dsir_weights
+ORACLES["q_dsir_weights"] = Q_DSIR_WEIGHTS_SQL
+QUERIES["q_dsir_sample"] = q_dsir_sample
+ORACLES["q_dsir_sample"] = Q_DSIR_SAMPLE_SQL
