@@ -2424,3 +2424,51 @@ QUERIES["q_dsir_weights"] = q_dsir_weights
 ORACLES["q_dsir_weights"] = Q_DSIR_WEIGHTS_SQL
 QUERIES["q_dsir_sample"] = q_dsir_sample
 ORACLES["q_dsir_sample"] = Q_DSIR_SAMPLE_SQL
+
+
+# --------------------------------------------------------------------------
+# character-diversity statistics (P11 family; functions/quality.py)
+# --------------------------------------------------------------------------
+
+def q_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution quality stats: Simpson concentration (the
+    algebraic entropy substitute) + distinct-char fraction, per doc.  Pure
+    sorted-array folds — zero shuffle, integer numerators, one final
+    division each (bitwise parity discipline)."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(text).cast("bigint").alias("n_chars_text"),
+        Q.char_run_sq_sum(text).alias("char_sq_sum"),
+        Q.char_simpson(text).alias("char_simpson"),
+        Q.distinct_char_frac(text).alias("distinct_char_frac"),
+    )
+
+
+# DuckDB explodes per-codepoint via substr/generate_series (string_split on
+# '' yields [''] for empty text, so it is NOT the right twin); the grouped
+# count² sum is integer, matching the Spark fold exactly
+Q_CHAR_STATS_SQL = """
+WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+e AS (
+  SELECT doc_id, substr(text, u.i, 1) AS ch
+  FROM t, UNNEST(generate_series(1, n)) AS u(i)
+),
+c AS (SELECT doc_id, ch, count(*)::BIGINT AS cnt FROM e GROUP BY 1, 2),
+s AS (
+  SELECT doc_id, sum(cnt * cnt)::BIGINT AS sq, count(*)::BIGINT AS nd
+  FROM c GROUP BY doc_id
+)
+SELECT t.doc_id,
+       t.n::BIGINT AS n_chars_text,
+       coalesce(s.sq, 0)::BIGINT AS char_sq_sum,
+       CASE WHEN t.n <= 0 THEN 0.0
+            ELSE s.sq::DOUBLE / (t.n * t.n)::DOUBLE END AS char_simpson,
+       CASE WHEN t.n <= 0 THEN 0.0
+            ELSE s.nd::DOUBLE / t.n::DOUBLE END AS distinct_char_frac
+FROM t LEFT JOIN s USING (doc_id)
+"""
+
+QUERIES["q_char_stats"] = q_char_stats
+ORACLES["q_char_stats"] = Q_CHAR_STATS_SQL

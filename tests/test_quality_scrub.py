@@ -176,3 +176,23 @@ def test_train_quality_weights_separates_and_drops_in(spark):
     auc = wins / (len(kept) * len(dropped))
     assert auc > 0.75, auc
     decisions.unpersist()
+
+
+def test_char_simpson_and_distinct_frac(spark):
+    from cfht2caom2_spark.functions.quality import (char_run_sq_sum,
+                                                    char_simpson,
+                                                    distinct_char_frac)
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, ""), (3, "abcd"), (4, "aabb"), (5, "中中文")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in df.select(
+        "doc_id",
+        char_run_sq_sum(F.col("text")).alias("sq"),
+        char_simpson(F.col("text")).alias("s"),
+        distinct_char_frac(F.col("text")).alias("d"),
+    ).collect()}
+    assert got[1]["s"] == 1.0 and got[1]["d"] == 0.25        # one char only
+    assert got[2]["sq"] == 0 and got[2]["s"] == 0.0          # empty guard
+    assert got[3]["s"] == 0.25 and got[3]["d"] == 1.0        # all distinct
+    assert got[4]["sq"] == 8 and got[4]["s"] == 0.5          # 2² + 2²
+    assert got[5]["sq"] == 5 and got[5]["d"] == 2 / 3        # codepoints
