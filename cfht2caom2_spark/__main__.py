@@ -100,6 +100,18 @@ def main(argv: list[str] | None = None) -> int:
     tl.add_argument("--kept-only", action="store_true",
                     help="train on keep=true rows only")
 
+    tb = sub.add_parser("train-bpe",
+                        help="learn a BPE merge table from a decisions "
+                             "store (distributed wordcount -> bounded-vocab "
+                             "merge learning); prints the merge JSON "
+                             "functions/bpe.py encoders accept")
+    tb.add_argument("--decisions", required=True,
+                    help="decisions parquet dir")
+    tb.add_argument("--kept-only", action="store_true",
+                    help="train on keep=true rows only")
+    tb.add_argument("--merges", type=int, default=200)
+    tb.add_argument("--vocab-top-k", type=int, default=50_000)
+
     tq = sub.add_parser("train-quality",
                         help="fit quality-score weights (LR over the six "
                              "score features) from a decisions store; "
@@ -205,6 +217,17 @@ def main(argv: list[str] | None = None) -> int:
                     else "extracted_text")
         print(lm_counts_to_json(corpus_lm_counts(decisions,
                                                  text_col=text_col)))
+    elif args.mode == "train-bpe":
+        from .functions.bpe import merges_to_json, train_bpe
+
+        decisions = spark.read.parquet(args.decisions)
+        if args.kept_only:
+            decisions = decisions.filter("keep")
+        text_col = ("scrubbed_text" if "scrubbed_text" in decisions.columns
+                    else "extracted_text")
+        print(merges_to_json(train_bpe(decisions, text_col=text_col,
+                                       n_merges=args.merges,
+                                       vocab_top_k=args.vocab_top_k)))
     elif args.mode == "train-quality":
         from .functions.quality import train_quality_weights
 

@@ -2472,3 +2472,34 @@ FROM t LEFT JOIN s USING (doc_id)
 
 QUERIES["q_char_stats"] = q_char_stats
 ORACLES["q_char_stats"] = Q_CHAR_STATS_SQL
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer — train on the corpus, encode every doc (functions/bpe.py)
+# --------------------------------------------------------------------------
+
+BPE_N_MERGES = 60
+BPE_VOCAB_TOP_K = 2000
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE merge table on the corpus (Sennrich et al. 2016:
+    distributed wordcount -> bounded-vocab merge learning) and encode every
+    document with it — the tokenizer loop q_vocab_counts feeds, closed.
+    No SQL oracle (merge learning and replay are iterative); correctness is
+    pinned by pytest equality against an independent merge-replay reference
+    over the full sf0.001 table plus the paper's worked example."""
+    from ..functions.bpe import train_bpe, with_bpe_tokens
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    merges = train_bpe(docs, text_col="text", n_merges=BPE_N_MERGES,
+                       vocab_top_k=BPE_VOCAB_TOP_K)
+    encoded = with_bpe_tokens(docs, merges, text_col="text")
+    return encoded.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.md5(F.array_join("bpe_tokens", "")).alias("tokens_md5"),
+    )
+
+
+NO_ORACLE_QUERIES["q_bpe_tokens"] = q_bpe_tokens
