@@ -62,6 +62,14 @@ class RuleProfile:
                                          # (Gopher dup-paragraph gate — blank-
                                          # line-delimited blocks, the template/
                                          # spam signal lines alone miss)
+    max_bullet_line_frac: float = 0.90   # rule: bullet_lines   (Gopher: >90%
+                                         # bullet lines = nav/link-farm page)
+    max_ellipsis_line_frac: float = 0.30 # rule: ellipsis_lines (Gopher: >30%
+                                         # "..." lines = teaser/snippet page)
+    min_terminal_punct_line_frac: float = 0.0  # rule: terminal_punct (C4 line
+                                         # gate at doc granularity; 0.0 = off —
+                                         # a frac is never < 0 — deployments
+                                         # raise it to opt in)
     max_perplexity: float = 25.0         # rule: perplexity     (CCNet-style LM gate;
                                          # re-validated at the current model
                                          # sampling windows (langid 600 /
@@ -152,7 +160,8 @@ class RuleProfile:
 RULE_IDS: tuple[str, ...] = (
     "empty_payload", "too_short", "too_long", "word_len_low", "word_len_high",
     "symbol_ratio", "stopword_frac", "alpha_frac", "repeated_lines",
-    "perplexity", "lang_conf", "lang_blocked", "toxicity",
+    "repeated_paragraphs", "bullet_lines", "ellipsis_lines", "terminal_punct",
+    "perplexity", "lang_conf", "lang_blocked", "blocked_domain", "toxicity",
     "exact_duplicate", "near_duplicate", "contaminated",
 )
 

@@ -104,6 +104,38 @@ def repeated_paragraph_frac(text: Column) -> Column:
     )
 
 
+def bullet_line_frac(text: Column) -> Column:
+    """Fraction of non-empty lines that start with a bullet glyph (Gopher
+    Table A1: docs that are >90% bullet lists are navigation/link farms,
+    not prose)."""
+    ls = lines(text)
+    n = F.size(ls)
+    hits = F.size(F.filter(ls, lambda l: l.rlike(r"^\s*[-*•]")))
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / n.cast("double"))
+
+
+def ellipsis_line_frac(text: Column) -> Column:
+    """Fraction of non-empty lines ending in an ellipsis (Gopher Table A1:
+    >30% ellipsis lines marks truncated teaser/snippet pages)."""
+    ls = lines(text)
+    n = F.size(ls)
+    hits = F.size(F.filter(ls, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / n.cast("double"))
+
+
+def terminal_punct_line_frac(text: Column) -> Column:
+    """Fraction of non-empty lines ending in terminal punctuation — the
+    doc-level form of C4's line rule (Raffel et al. 2020 §2.2 keeps only
+    lines ending in . ! ? ").  Low values mark list/menu/fragment pages."""
+    ls = lines(text)
+    n = F.size(ls)
+    hits = F.size(F.filter(ls, lambda l: l.rlike(r"[.!?\"]\s*$")))
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / n.cast("double"))
+
+
 def char_run_sq_sum(text: Column) -> Column:
     """Sum over distinct characters of count², as exact BIGINT — the
     numerator of the Simpson (Herfindahl) character-concentration index.
@@ -181,6 +213,9 @@ def with_quality_stats(df: DataFrame, text_col: str = "extracted_text",
             "alpha_word_frac": alpha_word_frac(t),
             "repeated_line_frac": repeated_line_frac(text),
             "repeated_paragraph_frac": repeated_paragraph_frac(text),
+            "bullet_line_frac": bullet_line_frac(text),
+            "ellipsis_line_frac": ellipsis_line_frac(text),
+            "terminal_punct_line_frac": terminal_punct_line_frac(text),
             "toxicity_hits": toxicity_hits(t),
         })
         .drop("_toks")
@@ -201,6 +236,14 @@ def heuristic_rules(profile: RuleProfile) -> dict[str, Column]:
         "repeated_lines": F.col("repeated_line_frac") > profile.max_repeated_line_frac,
         "repeated_paragraphs": (F.col("repeated_paragraph_frac")
                                 > profile.max_repeated_paragraph_frac),
+        "bullet_lines": (F.col("bullet_line_frac")
+                         > profile.max_bullet_line_frac),
+        "ellipsis_lines": (F.col("ellipsis_line_frac")
+                           > profile.max_ellipsis_line_frac),
+        # C4's line gate at doc granularity; the default threshold 0.0 can
+        # never fire (frac >= 0) — deployments opt in via the profile
+        "terminal_punct": (F.col("terminal_punct_line_frac")
+                           < profile.min_terminal_punct_line_frac),
         "toxicity": F.col("toxicity_hits") > profile.max_toxicity_hits,
     }
 

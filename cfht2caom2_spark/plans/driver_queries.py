@@ -83,6 +83,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.alpha_word_frac(t).alias("alpha_word_frac"),
         Q.repeated_line_frac(text).alias("repeated_line_frac"),
         Q.repeated_paragraph_frac(text).alias("repeated_paragraph_frac"),
+        Q.bullet_line_frac(text).alias("bullet_line_frac"),
+        Q.ellipsis_line_frac(text).alias("ellipsis_line_frac"),
+        Q.terminal_punct_line_frac(text).alias("terminal_punct_line_frac"),
     )
 
 
@@ -111,7 +114,20 @@ _STATS_EXPRS_SQL = f"""
   END AS repeated_line_frac,
   CASE WHEN len(prs) <= 0 THEN 0.0
        ELSE 1.0 - len(list_distinct(prs))::DOUBLE / len(prs)::DOUBLE
-  END AS repeated_paragraph_frac
+  END AS repeated_paragraph_frac,
+  CASE WHEN len(lns) <= 0 THEN 0.0
+       ELSE len(list_filter(lns, l -> regexp_matches(l, '^\\s*[-*•]')))::DOUBLE
+            / len(lns)::DOUBLE
+  END AS bullet_line_frac,
+  CASE WHEN len(lns) <= 0 THEN 0.0
+       ELSE len(list_filter(lns,
+                l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))::DOUBLE
+            / len(lns)::DOUBLE
+  END AS ellipsis_line_frac,
+  CASE WHEN len(lns) <= 0 THEN 0.0
+       ELSE len(list_filter(lns, l -> regexp_matches(l, '[.!?"]\\s*$')))::DOUBLE
+            / len(lns)::DOUBLE
+  END AS terminal_punct_line_frac
 """
 
 Q_TEXT_STATS_SQL = f"""
@@ -1466,6 +1482,11 @@ _DET_RULE_CASES = ", ".join(
         ("alpha_frac", "alpha_word_frac < 0.80"),
         ("repeated_lines", "repeated_line_frac > 0.30"),
         ("repeated_paragraphs", "repeated_paragraph_frac > 0.30"),
+        ("bullet_lines", "bullet_line_frac > 0.90"),
+        ("ellipsis_lines", "ellipsis_line_frac > 0.30"),
+        # default min_terminal_punct_line_frac = 0.0: the case is listed so
+        # the oracle tracks the full rule surface, but a frac is never < 0
+        ("terminal_punct", "terminal_punct_line_frac < 0.0"),
         ("toxicity", "toxicity_hits > 0"),
     )
 )
@@ -2503,3 +2524,111 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NO_ORACLE_QUERIES["q_bpe_tokens"] = q_bpe_tokens
+
+
+# --------------------------------------------------------------------------
+# line-format gates — Gopher bullet/ellipsis + C4 terminal punctuation
+# --------------------------------------------------------------------------
+
+# thresholds chosen so every rule FIRES on part of the synthesized corpus
+# (the defaults 0.90/0.30/0.0 would never fire on sentence-shaped testdata)
+LINE_BULLET_THR = 0.35
+LINE_ELLIPSIS_THR = 0.25
+LINE_TERM_THR = 0.30
+
+
+def _line_format_text() -> F.Column:
+    """Deterministic per-doc multi-line text: 10 lines cycling bullet /
+    ellipsis / terminated / bare shapes, phase-shifted by doc_id so the
+    per-doc fractions vary across the table (same synthesize-the-input
+    trick as q_url_canonical)."""
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(9)),
+            lambda j: F.when((F.col("doc_id") + j) % 4 == 0,
+                             F.concat(F.lit("- bullet item "),
+                                      j.cast("string")))
+            .when((F.col("doc_id") + j) % 4 == 1,
+                  F.concat(F.lit("teaser thought "), j.cast("string"),
+                           F.lit("...")))
+            .when((F.col("doc_id") + j) % 4 == 2,
+                  F.concat(F.lit("a proper sentence "), j.cast("string"),
+                           F.lit(".")))
+            .otherwise(F.concat(F.lit("bare fragment "),
+                                j.cast("string")))),
+        "\n")
+
+
+def q_line_format_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three line-format stats + their fired rules over synthesized
+    multi-line docs — exercises the Gopher bullet/ellipsis gates and the
+    C4 terminal-punct gate with thresholds low enough to actually fire
+    (the production defaults sit in RuleProfile)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = docs.withColumn("text", _line_format_text())
+    text = F.col("text")
+    stats = docs.select(
+        "doc_id",
+        Q.bullet_line_frac(text).alias("bullet_line_frac"),
+        Q.ellipsis_line_frac(text).alias("ellipsis_line_frac"),
+        Q.terminal_punct_line_frac(text).alias("terminal_punct_line_frac"),
+    )
+    conds = {
+        "bullet_lines": F.col("bullet_line_frac") > LINE_BULLET_THR,
+        "ellipsis_lines": F.col("ellipsis_line_frac") > LINE_ELLIPSIS_THR,
+        "terminal_punct": (F.col("terminal_punct_line_frac")
+                           < LINE_TERM_THR),
+    }
+    rules = F.array_sort(F.filter(
+        F.array(*[F.when(c, F.lit(r)) for r, c in conds.items()]),
+        lambda x: x.isNotNull()))
+    return stats.withColumn("rules_str", F.array_join(rules, ","))
+
+
+Q_LINE_FORMAT_STATS_SQL = f"""
+WITH u AS (
+  SELECT doc_id,
+         array_to_string(list_transform(generate_series(0, 9), j ->
+           CASE WHEN (doc_id + j) % 4 = 0 THEN '- bullet item ' || j::VARCHAR
+                WHEN (doc_id + j) % 4 = 1
+                  THEN 'teaser thought ' || j::VARCHAR || '...'
+                WHEN (doc_id + j) % 4 = 2
+                  THEN 'a proper sentence ' || j::VARCHAR || '.'
+                ELSE 'bare fragment ' || j::VARCHAR END),
+           chr(10)) AS text
+  FROM documents
+),
+t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lns
+  FROM u
+),
+s AS (
+  SELECT doc_id,
+    CASE WHEN len(lns) <= 0 THEN 0.0
+         ELSE len(list_filter(lns, l -> regexp_matches(l, '^\\s*[-*•]')))::DOUBLE
+              / len(lns)::DOUBLE END AS bullet_line_frac,
+    CASE WHEN len(lns) <= 0 THEN 0.0
+         ELSE len(list_filter(lns,
+                  l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))::DOUBLE
+              / len(lns)::DOUBLE END AS ellipsis_line_frac,
+    CASE WHEN len(lns) <= 0 THEN 0.0
+         ELSE len(list_filter(lns, l -> regexp_matches(l, '[.!?"]\\s*$')))::DOUBLE
+              / len(lns)::DOUBLE END AS terminal_punct_line_frac
+  FROM t
+)
+SELECT doc_id, bullet_line_frac, ellipsis_line_frac,
+       terminal_punct_line_frac,
+       coalesce(array_to_string(list_sort(list_filter([
+         CASE WHEN bullet_line_frac > {LINE_BULLET_THR}
+              THEN 'bullet_lines' END,
+         CASE WHEN ellipsis_line_frac > {LINE_ELLIPSIS_THR}
+              THEN 'ellipsis_lines' END,
+         CASE WHEN terminal_punct_line_frac < {LINE_TERM_THR}
+              THEN 'terminal_punct' END
+       ], x -> x IS NOT NULL)), ','), '') AS rules_str
+FROM s
+"""
+
+QUERIES["q_line_format_stats"] = q_line_format_stats
+ORACLES["q_line_format_stats"] = Q_LINE_FORMAT_STATS_SQL

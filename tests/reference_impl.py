@@ -123,6 +123,22 @@ def reference_labels(n_rows: int, seed: int = 42,
                 rules.add("repeated_lines")
             if rep_p > profile.max_repeated_paragraph_frac:
                 rules.add("repeated_paragraphs")
+            n_lines = max(len(lines), 1)
+            bullet = sum(1 for l in lines
+                         if re.search(r"^\s*[-*•]", l)) / n_lines
+            ellip = sum(1 for l in lines
+                        if re.search(r"(\.\.\.|…)\s*$", l)) / n_lines
+            term = sum(1 for l in lines
+                       if re.search(r"[.!?\"]\s*$", l)) / n_lines
+            # fracs are 0.0 for line-less text (matching the Spark stats),
+            # so bullet/ellipsis can't fire there and terminal_punct fires
+            # only under an opted-in threshold
+            if bullet > profile.max_bullet_line_frac:
+                rules.add("bullet_lines")
+            if ellip > profile.max_ellipsis_line_frac:
+                rules.add("ellipsis_lines")
+            if term < profile.min_terminal_punct_line_frac:
+                rules.add("terminal_punct")
             if tox > profile.max_toxicity_hits:
                 rules.add("toxicity")
             thr = (profile.max_perplexity_zh if lang == "zh"

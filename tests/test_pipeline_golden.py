@@ -520,3 +520,42 @@ def test_canonicalize_urls_in_pipeline(spark):
     # identical content -> exact_duplicate fires on exactly one of them
     dups = [r for r in off if "exact_duplicate" in r["rules"]]
     assert len(dups) == 1
+
+
+def test_line_format_gates_in_pipeline(spark):
+    """Gopher bullet/ellipsis gates + C4 terminal-punct gate: a near-pure
+    bullet list and an ellipsis-teaser page drop with the right rule; prose
+    is untouched; the terminal-punct gate stays off until a deployment
+    raises its threshold from the never-firing 0.0 default."""
+    from dataclasses import replace
+
+    from cfht2caom2_spark.config import DEFAULT_PROFILE
+
+    # enough words per line that only the line-format gates fire
+    filler = "assorted words keep this line long enough for the gates"
+    bullets = "\n".join(f"- {filler} item {i}" for i in range(20))
+    teaser = "\n".join(f"{filler} teaser {i}..." if i < 9
+                       else f"{filler} plain {i}."
+                       for i in range(20))
+    pages = _mk_pages(spark, [
+        ("https://bul.example/a", 0, bullets),
+        ("https://tea.example/b", 1, teaser),
+        ("https://ok.example/c", 2, _CLEAN_A),
+    ])
+    out = {r["url"]: r for r in build_pipeline(
+        pages, spark, dedupe=False, has_html=False).collect()}
+    assert "bullet_lines" in out["https://bul.example/a"]["rules"]
+    assert not out["https://bul.example/a"]["keep"]
+    assert "ellipsis_lines" in out["https://tea.example/b"]["rules"]
+    assert not out["https://tea.example/b"]["keep"]
+    assert out["https://ok.example/c"]["keep"]
+    assert all("terminal_punct" not in r["rules"] for r in out.values())
+
+    # opt-in terminal-punct gate: _CLEAN_A has no sentence punctuation at
+    # all, so a raised threshold drops it; the teaser page's lines all end
+    # in . or ... and pass
+    prof = replace(DEFAULT_PROFILE, min_terminal_punct_line_frac=0.5)
+    strict = {r["url"]: r for r in build_pipeline(
+        pages, spark, profile=prof, dedupe=False, has_html=False).collect()}
+    assert "terminal_punct" in strict["https://ok.example/c"]["rules"]
+    assert "terminal_punct" not in strict["https://tea.example/b"]["rules"]
