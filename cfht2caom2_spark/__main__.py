@@ -120,6 +120,26 @@ def main(argv: list[str] | None = None) -> int:
     tq.add_argument("--decisions", required=True,
                     help="decisions parquet dir")
 
+    ds = sub.add_parser("dsir",
+                        help="DSIR importance weights over a corpus "
+                             "(Xie et al. 2023): score every doc by how "
+                             "target-like its word n-gram bag is; write "
+                             "weights (+ optional top-k selection) parquet")
+    ds.add_argument("--input", required=True,
+                    help="documents/decisions parquet dir")
+    ds.add_argument("--target", required=True,
+                    help="SQL predicate defining the target domain over the "
+                         "input columns, e.g. \"lang_pred = 'en'\" or "
+                         "\"quality_score > 0.8\"")
+    ds.add_argument("--out", required=True)
+    ds.add_argument("--top-k", type=int, default=0,
+                    help="also write the k highest-importance ids to "
+                         "<out>/selected (0 = weights only)")
+    ds.add_argument("--min-count", type=int, default=5)
+    ds.add_argument("--hash-buckets", type=int, default=0,
+                    help="fixed feature-bucket count (production mode; "
+                         "0 = string features with the min-count prune)")
+
     g = sub.add_parser("synth", help="generate a synthetic pages table")
     g.add_argument("--out", required=True)
     g.add_argument("--rows", type=int, default=100_000)
@@ -233,6 +253,27 @@ def main(argv: list[str] | None = None) -> int:
 
         decisions = spark.read.parquet(args.decisions)
         print(json.dumps(train_quality_weights(decisions)))
+    elif args.mode == "dsir":
+        from pyspark.sql import functions as F
+
+        from .operators.dsir import importance_weights, select_top_k
+
+        docs = spark.read.parquet(args.input)
+        id_col = "url" if "url" in docs.columns else "doc_id"
+        text_col = next(c for c in ("scrubbed_text", "extracted_text", "text")
+                        if c in docs.columns)
+        weights = importance_weights(
+            docs, F.expr(args.target), id_col=id_col, text_col=text_col,
+            min_count=args.min_count,
+            hash_buckets=args.hash_buckets or None)
+        weights.write.mode("overwrite").parquet(f"{args.out}/weights")
+        summary = {"docs": spark.read.parquet(f"{args.out}/weights").count(),
+                   "out": args.out}
+        if args.top_k:
+            sel = select_top_k(weights, args.top_k, id_col=id_col)
+            sel.write.mode("overwrite").parquet(f"{args.out}/selected")
+            summary["selected"] = args.top_k
+        print(json.dumps(summary))
     elif args.mode == "compact":
         from .operators.compact import compact_decisions
 

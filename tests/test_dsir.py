@@ -105,3 +105,23 @@ def test_importance_is_density_of_scaled(spark):
     for r in w.collect():
         denom = LAMBDA_SCALE * max(r["n_feats"], 1)
         assert r["importance"] == r["importance_scaled"] / denom
+
+
+def test_dsir_cli_writes_weights_and_selection(spark, tmp_path, monkeypatch):
+    import cfht2caom2_spark.__main__ as cli
+    import cfht2caom2_spark.session as session_mod
+
+    monkeypatch.setattr(session_mod, "get_spark",
+                        lambda app_name=None, **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    _corpus(spark).write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    rc = cli.main(["dsir", "--input", str(tmp_path / "docs"),
+                   "--target", "lang = 'en'", "--out",
+                   str(tmp_path / "out"), "--top-k", "4",
+                   "--min-count", "3"])
+    assert rc == 0
+    w = spark.read.parquet(str(tmp_path / "out" / "weights"))
+    assert w.count() == 18
+    sel = spark.read.parquet(str(tmp_path / "out" / "selected"))
+    ids = [r["doc_id"] for r in sel.collect()]
+    assert len(ids) == 4 and all(i < 8 for i in ids)  # target block wins
