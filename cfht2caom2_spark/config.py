@@ -70,6 +70,16 @@ class RuleProfile:
                                          # gate at doc granularity; 0.0 = off —
                                          # a frac is never < 0 — deployments
                                          # raise it to opt in)
+    min_sentences: int = 0               # rule: too_few_sentences (C4 §2.2
+                                         # "at least 3 sentences"; 0 = off — a
+                                         # count is never < 0 — C4 deployments
+                                         # set 3; the synthetic corpus is
+                                         # punctuation-free prose)
+    block_lorem_ipsum: bool = True       # rule: lorem_ipsum (C4 §2.2: any page
+                                         # with the placeholder phrase is a
+                                         # template shell)
+    block_curly_brace: bool = True       # rule: curly_brace (C4 §2.2: '{' in
+                                         # extracted text = leaked code/CSS)
     max_perplexity: float = 25.0         # rule: perplexity     (CCNet-style LM gate;
                                          # re-validated at the current model
                                          # sampling windows (langid 600 /
@@ -161,6 +171,7 @@ RULE_IDS: tuple[str, ...] = (
     "empty_payload", "too_short", "too_long", "word_len_low", "word_len_high",
     "symbol_ratio", "stopword_frac", "alpha_frac", "repeated_lines",
     "repeated_paragraphs", "bullet_lines", "ellipsis_lines", "terminal_punct",
+    "too_few_sentences", "lorem_ipsum", "curly_brace",
     "perplexity", "lang_conf", "lang_blocked", "blocked_domain", "toxicity",
     "exact_duplicate", "near_duplicate", "contaminated",
 )

@@ -136,6 +136,27 @@ def terminal_punct_line_frac(text: Column) -> Column:
         hits.cast("double") / n.cast("double"))
 
 
+def sentence_count(text: Column) -> Column:
+    """Number of sentence terminators — an ASCII terminator ([.!?]) followed
+    by whitespace or end-of-text, or a CJK full-width terminator (。！？,
+    which zh prose does NOT space-separate).  C4's "at least 3 sentences"
+    page gate (Raffel et al. 2020 §2.2) needs only this count, not a
+    segmenter.  The alternation is RE2/Java-identical (no lookarounds)."""
+    return F.regexp_count(text, F.lit(r"[.!?](\s|$)|[。！？]")).cast("bigint")
+
+
+def has_lorem_ipsum(text: Column) -> Column:
+    """C4 §2.2: any page containing the placeholder phrase "lorem ipsum"
+    (case-insensitive) is an unfinished template shell."""
+    return F.contains(F.lower(text), F.lit("lorem ipsum"))
+
+
+def has_curly_brace(text: Column) -> Column:
+    """C4 §2.2: '{' in EXTRACTED text means code/CSS/JSON leaked through
+    markup removal — C4 drops the page outright."""
+    return F.contains(text, F.lit("{"))
+
+
 def char_run_sq_sum(text: Column) -> Column:
     """Sum over distinct characters of count², as exact BIGINT — the
     numerator of the Simpson (Herfindahl) character-concentration index.
@@ -216,6 +237,9 @@ def with_quality_stats(df: DataFrame, text_col: str = "extracted_text",
             "bullet_line_frac": bullet_line_frac(text),
             "ellipsis_line_frac": ellipsis_line_frac(text),
             "terminal_punct_line_frac": terminal_punct_line_frac(text),
+            "sentence_count": sentence_count(text),
+            "has_lorem_ipsum": has_lorem_ipsum(text),
+            "has_curly_brace": has_curly_brace(text),
             "toxicity_hits": toxicity_hits(t),
         })
         .drop("_toks")
@@ -244,6 +268,12 @@ def heuristic_rules(profile: RuleProfile) -> dict[str, Column]:
         # never fire (frac >= 0) — deployments opt in via the profile
         "terminal_punct": (F.col("terminal_punct_line_frac")
                            < profile.min_terminal_punct_line_frac),
+        # count/frac are never negative, so the 0 defaults can't fire
+        "too_few_sentences": F.col("sentence_count") < profile.min_sentences,
+        "lorem_ipsum": (F.col("has_lorem_ipsum") if profile.block_lorem_ipsum
+                        else F.lit(False)),
+        "curly_brace": (F.col("has_curly_brace") if profile.block_curly_brace
+                        else F.lit(False)),
         "toxicity": F.col("toxicity_hits") > profile.max_toxicity_hits,
     }
 

@@ -86,6 +86,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q.bullet_line_frac(text).alias("bullet_line_frac"),
         Q.ellipsis_line_frac(text).alias("ellipsis_line_frac"),
         Q.terminal_punct_line_frac(text).alias("terminal_punct_line_frac"),
+        Q.sentence_count(text).alias("sentence_count"),
+        Q.has_lorem_ipsum(text).alias("has_lorem_ipsum"),
+        Q.has_curly_brace(text).alias("has_curly_brace"),
     )
 
 
@@ -127,7 +130,11 @@ _STATS_EXPRS_SQL = f"""
   CASE WHEN len(lns) <= 0 THEN 0.0
        ELSE len(list_filter(lns, l -> regexp_matches(l, '[.!?"]\\s*$')))::DOUBLE
             / len(lns)::DOUBLE
-  END AS terminal_punct_line_frac
+  END AS terminal_punct_line_frac,
+  len(regexp_extract_all(text, '[.!?](\\s|$)|[。！？]'))::BIGINT
+    AS sentence_count,
+  contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+  contains(text, '{{') AS has_curly_brace
 """
 
 Q_TEXT_STATS_SQL = f"""
@@ -1487,6 +1494,10 @@ _DET_RULE_CASES = ", ".join(
         # default min_terminal_punct_line_frac = 0.0: the case is listed so
         # the oracle tracks the full rule surface, but a frac is never < 0
         ("terminal_punct", "terminal_punct_line_frac < 0.0"),
+        # min_sentences default 0: listed for surface parity, can't fire
+        ("too_few_sentences", "sentence_count < 0"),
+        ("lorem_ipsum", "has_lorem_ipsum"),
+        ("curly_brace", "has_curly_brace"),
         ("toxicity", "toxicity_hits > 0"),
     )
 )

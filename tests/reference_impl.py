@@ -139,6 +139,13 @@ def reference_labels(n_rows: int, seed: int = 42,
                 rules.add("ellipsis_lines")
             if term < profile.min_terminal_punct_line_frac:
                 rules.add("terminal_punct")
+            sent = sum(1 for _ in re.finditer(r"[.!?](\s|$)|[。！？]", text))
+            if sent < profile.min_sentences:
+                rules.add("too_few_sentences")
+            if profile.block_lorem_ipsum and "lorem ipsum" in text.lower():
+                rules.add("lorem_ipsum")
+            if profile.block_curly_brace and "{" in text:
+                rules.add("curly_brace")
             if tox > profile.max_toxicity_hits:
                 rules.add("toxicity")
             thr = (profile.max_perplexity_zh if lang == "zh"

@@ -559,3 +559,47 @@ def test_line_format_gates_in_pipeline(spark):
         pages, spark, profile=prof, dedupe=False, has_html=False).collect()}
     assert "terminal_punct" in strict["https://ok.example/c"]["rules"]
     assert "terminal_punct" not in strict["https://tea.example/b"]["rules"]
+
+
+def test_c4_content_gates_in_pipeline(spark):
+    """C4 §2.2 content gates: a page containing "lorem ipsum" (any case) or
+    a curly brace drops with the right rule by default; the min-sentences
+    gate is off by default (the synthetic corpus is punctuation-free prose)
+    and drops sentence-less pages once a deployment opts in."""
+    from dataclasses import replace
+
+    from cfht2caom2_spark.config import DEFAULT_PROFILE
+
+    sentences = " ".join(f"{_CLEAN_A} and so it goes on number {i}."
+                         for i in range(4))
+    pages = _mk_pages(spark, [
+        ("https://lorem.example/a", 0, _CLEAN_A + "\nLorem Ipsum dolor sit"),
+        ("https://code.example/b", 1, _CLEAN_A + "\nif (x) { return y; }"),
+        ("https://ok.example/c", 2, _CLEAN_A),
+        ("https://prose.example/d", 3, sentences),
+    ])
+    out = {r["url"]: r for r in build_pipeline(
+        pages, spark, dedupe=False, has_html=False).collect()}
+    assert "lorem_ipsum" in out["https://lorem.example/a"]["rules"]
+    assert not out["https://lorem.example/a"]["keep"]
+    assert "curly_brace" in out["https://code.example/b"]["rules"]
+    assert not out["https://code.example/b"]["keep"]
+    assert out["https://ok.example/c"]["keep"]
+    assert all("too_few_sentences" not in r["rules"] for r in out.values())
+
+    # opt in at the published C4 value: punctuation-free prose drops, the
+    # 4-sentence page sails through
+    prof = replace(DEFAULT_PROFILE, min_sentences=3)
+    strict = {r["url"]: r for r in build_pipeline(
+        pages, spark, profile=prof, dedupe=False, has_html=False).collect()}
+    assert "too_few_sentences" in strict["https://ok.example/c"]["rules"]
+    assert "too_few_sentences" not in strict["https://prose.example/d"]["rules"]
+    assert strict["https://prose.example/d"]["keep"]
+
+    # gates are profile-switchable off again
+    lax = replace(DEFAULT_PROFILE, block_lorem_ipsum=False,
+                  block_curly_brace=False)
+    off = {r["url"]: r for r in build_pipeline(
+        pages, spark, profile=lax, dedupe=False, has_html=False).collect()}
+    assert off["https://lorem.example/a"]["keep"]
+    assert off["https://code.example/b"]["keep"]
