@@ -80,6 +80,16 @@ class RuleProfile:
                                          # template shell)
     block_curly_brace: bool = True       # rule: curly_brace (C4 §2.2: '{' in
                                          # extracted text = leaked code/CSS)
+    # Gopher dup-ngram ladder (Rae et al. 2021 Table A1), opt-in: it is the
+    # COSTLY tail of the repetition family (~9 extra array folds per doc in
+    # the stat stage), and the lines/paragraphs/2-gram gates above already
+    # catch the common template spam.  Thresholds are the published Gopher
+    # values; rules fire as dup_top_{n}gram / dup_{n}gram.
+    gopher_repetition_gates: bool = False
+    max_top_ngram_char_frac: tuple[tuple[int, float], ...] = (
+        (2, 0.20), (3, 0.18), (4, 0.16))
+    max_dup_ngram_char_frac: tuple[tuple[int, float], ...] = (
+        (5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10))
     max_perplexity: float = 25.0         # rule: perplexity     (CCNet-style LM gate;
                                          # re-validated at the current model
                                          # sampling windows (langid 600 /
@@ -172,6 +182,9 @@ RULE_IDS: tuple[str, ...] = (
     "symbol_ratio", "stopword_frac", "alpha_frac", "repeated_lines",
     "repeated_paragraphs", "bullet_lines", "ellipsis_lines", "terminal_punct",
     "too_few_sentences", "lorem_ipsum", "curly_brace",
+    "dup_top_2gram", "dup_top_3gram", "dup_top_4gram",
+    "dup_5gram", "dup_6gram", "dup_7gram", "dup_8gram", "dup_9gram",
+    "dup_10gram",
     "perplexity", "lang_conf", "lang_blocked", "blocked_domain", "toxicity",
     "exact_duplicate", "near_duplicate", "contaminated",
 )

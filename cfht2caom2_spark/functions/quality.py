@@ -136,6 +136,148 @@ def terminal_punct_line_frac(text: Column) -> Column:
         hits.cast("double") / n.cast("double"))
 
 
+# --- Gopher dup-ngram ladder -------------------------------------------------
+#
+# The repetition family beyond lines/paragraphs/2-grams (Rae et al. 2021
+# Table A1): top-{2,3,4}-gram char fraction and dup-{5..10}-gram char
+# fraction.  Character fractions are over TOKEN characters (separators
+# excluded on both sides of the ratio).  Every computed array below is
+# consumed exactly once, in ARGUMENT position (array_sort / the array being
+# folded), never element-wise inside another lambda — higher-order functions
+# re-evaluate lambda-body subtrees per element, so that discipline is what
+# keeps each stat O(T·n + G log G) per doc instead of O(T²).
+
+REP_LADDER_TOP_NS: tuple[int, ...] = (2, 3, 4)
+REP_LADDER_DUP_NS: tuple[int, ...] = (5, 6, 7, 8, 9, 10)
+
+
+def ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams as single-space-joined strings; [] for docs with fewer
+    than ``n`` tokens.  Gram i (1-based) covers tokens i..i+n-1."""
+    win = F.size(toks) - (n - 1)
+    return F.when(win >= 1, F.transform(
+        F.sequence(F.lit(1), win),
+        lambda i: F.array_join(F.slice(toks, i, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def total_token_chars(toks: Column) -> Column:
+    return F.aggregate(toks, F.lit(0).cast("bigint"),
+                       lambda a, t: a + F.length(t))
+
+
+def top_ngram_char_frac(toks: Column, n: int) -> Column:
+    """Fraction of token characters covered by the most frequent word
+    n-gram: count × the gram's token chars / total token chars (Gopher
+    "fraction of characters contained in the most frequently-occurring
+    n-gram").  Overlapping occurrences count independently, so degenerate
+    single-token spam can exceed 1.0 — harmless for a > threshold gate.
+    Ties on (count, char length) keep the lexicographically smallest gram
+    (= first in sort order), which the SQL oracle mirrors with ORDER BY
+    cnt DESC, len DESC, gram ASC.  ONE fold over the sorted gram array."""
+    sorted_g = F.array_sort(ngrams(toks, n))
+    acc0 = F.struct(F.lit("").alias("prev"),
+                    F.lit(0).cast("bigint").alias("run"),
+                    F.lit(0).cast("bigint").alias("best"),
+                    F.lit(0).cast("bigint").alias("best_len"))
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1) \
+            .otherwise(F.lit(1).cast("bigint"))
+        ln = (F.length(x) - F.lit(n - 1)).cast("bigint")
+        better = (run > acc["best"]) | ((run == acc["best"])
+                                        & (ln > acc["best_len"]))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, ln).otherwise(acc["best_len"]).alias("best_len"))
+
+    cov = F.aggregate(sorted_g, acc0, step,
+                      lambda a: a["best"] * a["best_len"])
+    tot = total_token_chars(toks)
+    return F.when(tot <= 0, F.lit(0.0)).otherwise(
+        cov.cast("double") / tot.cast("double"))
+
+
+def dup_ngram_char_frac(toks: Column, n: int) -> Column:
+    """Fraction of token characters inside at least one DUPLICATED n-gram
+    occurrence (union of covered token positions — overlap not double-
+    counted, Gopher's "fraction of characters contained within duplicate
+    n-grams").  Shape: one fold over the sorted (gram, pos) pairs collects
+    the duplicated start positions, one interval-merge fold (same walk as
+    the span-removal gap fold, operators/spans.py) sums the union's token
+    chars — O(T·n + G log G + D·n) per doc, D = duplicated starts."""
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.struct(F.array_join(F.slice(toks, i, n), " ").alias("g"),
+                           i.cast("bigint").alias("pos")))
+    sorted_p = F.when(F.size(toks) >= n, F.array_sort(pairs)) \
+        .otherwise(F.array().cast("array<struct<g:string,pos:bigint>>"))
+    acc0 = F.struct(F.lit("").alias("prev"),
+                    F.lit(0).cast("bigint").alias("prev_pos"),
+                    F.lit(0).cast("bigint").alias("run"),
+                    F.array().cast("array<bigint>").alias("dups"))
+
+    def step(acc, x):
+        run = F.when(x["g"] == acc["prev"], acc["run"] + 1) \
+            .otherwise(F.lit(1).cast("bigint"))
+        # run hits 2: the FIRST occurrence retroactively joins the dup set
+        dups = F.when(run == 2,
+                      F.concat(acc["dups"],
+                               F.array(acc["prev_pos"], x["pos"]))) \
+            .when(run > 2, F.array_append(acc["dups"], x["pos"])) \
+            .otherwise(acc["dups"])
+        return F.struct(x["g"].alias("prev"), x["pos"].alias("prev_pos"),
+                        run.alias("run"), dups.alias("dups"))
+
+    dup_starts = F.array_sort(F.aggregate(sorted_p, acc0, step,
+                                          lambda a: a["dups"]))
+    # interval-merge: each start i covers tokens [i, i+n-1]; clip to the
+    # last covered index and sum the newly covered tokens' chars
+    m0 = F.struct(F.lit(0).cast("bigint").alias("end"),
+                  F.lit(0).cast("bigint").alias("chars"))
+
+    def merge(acc, i):
+        s = F.greatest(i, acc["end"] + 1)
+        e = i + F.lit(n - 1)
+        seg = F.aggregate(
+            F.slice(toks, s.cast("int"), (e - s + 1).cast("int")),
+            F.lit(0).cast("bigint"), lambda a, t: a + F.length(t))
+        return F.struct(e.alias("end"), (acc["chars"] + seg).alias("chars"))
+
+    covered = F.aggregate(dup_starts, m0, merge, lambda a: a["chars"])
+    tot = total_token_chars(toks)
+    return F.when(tot <= 0, F.lit(0.0)).otherwise(
+        covered.cast("double") / tot.cast("double"))
+
+
+def with_repetition_ladder(df: DataFrame, text_col: str = "extracted_text",
+                           lang_col: str | None = None) -> DataFrame:
+    """Append the 9 ladder stats (top_{2,3,4}gram_char_frac,
+    dup_{5..10}gram_char_frac).  Same token dispatch as
+    with_quality_stats; opt-in from the pipeline via
+    RuleProfile.gopher_repetition_gates."""
+    text = F.col(text_col)
+    is_zh = (F.col(lang_col) == "zh") if lang_col else F.lit(False)
+    df = df.withColumn("_toks", F.when(is_zh, zh_chars(text))
+                       .otherwise(tokens(text)))
+    t = F.col("_toks")
+    cols = {f"top_{n}gram_char_frac": top_ngram_char_frac(t, n)
+            for n in REP_LADDER_TOP_NS}
+    cols.update({f"dup_{n}gram_char_frac": dup_ngram_char_frac(t, n)
+                 for n in REP_LADDER_DUP_NS})
+    return df.withColumns(cols).drop("_toks")
+
+
+def repetition_ladder_rules(profile: RuleProfile) -> dict[str, Column]:
+    rules: dict[str, Column] = {}
+    for n, thr in profile.max_top_ngram_char_frac:
+        rules[f"dup_top_{n}gram"] = F.col(f"top_{n}gram_char_frac") > thr
+    for n, thr in profile.max_dup_ngram_char_frac:
+        rules[f"dup_{n}gram"] = F.col(f"dup_{n}gram_char_frac") > thr
+    return rules
+
+
 def sentence_count(text: Column) -> Column:
     """Number of sentence terminators — an ASCII terminator ([.!?]) followed
     by whitespace or end-of-text, or a CJK full-width terminator (。！？,

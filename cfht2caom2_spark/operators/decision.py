@@ -77,6 +77,10 @@ def with_decision(df: DataFrame, profile: RuleProfile,
     MinHash losers / byte-identical-content losers.
     """
     rules = dict(heuristic_rules(profile))
+    if profile.gopher_repetition_gates:
+        from ..functions.quality import repetition_ladder_rules
+
+        rules.update(repetition_ladder_rules(profile))
     if profile.blocked_hosts and url_col is not None and url_col in df.columns:
         rules["blocked_domain"] = blocked_domain_rule(
             F.col(url_col), profile.blocked_hosts)

@@ -2643,3 +2643,129 @@ FROM s
 
 QUERIES["q_line_format_stats"] = q_line_format_stats
 ORACLES["q_line_format_stats"] = Q_LINE_FORMAT_STATS_SQL
+
+
+# --------------------------------------------------------------------------
+# Gopher dup-ngram ladder — top-{2,3,4}-gram / dup-{5..10}-gram char fracs
+# --------------------------------------------------------------------------
+
+# planted repetition: a 5-word phrase appended doc_id % 6 times to a 120-char
+# prefix of the real text, so every ladder stat takes a spread of values and
+# the published Gopher thresholds genuinely fire on part of the table
+_REP_PHRASE = " quick brown fox jumps over"
+
+
+def q_repetition_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher repetition ladder (Rae et al. 2021 Table A1) with the
+    published thresholds: fraction of token chars in the most frequent
+    {2,3,4}-gram and in duplicated {5..10}-grams, plus the fired
+    dup_top_{n}gram / dup_{n}gram rules.  Narrow per-doc array folds — no
+    shuffle (the same Column exprs the pipeline applies under
+    profile.gopher_repetition_gates)."""
+    from ..config import DEFAULT_PROFILE
+
+    docs = _t_wide(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring(F.col("text"), 1, 120),
+            F.expr(f"repeat('{_REP_PHRASE}', cast(doc_id % 6 as int))"),
+        ).alias("text"))
+    docs = docs.withColumn("_toks", Q.tokens(F.col("text")))
+    t = F.col("_toks")
+    cols = [F.col("doc_id")]
+    for n in Q.REP_LADDER_TOP_NS:
+        cols.append(Q.top_ngram_char_frac(t, n)
+                    .alias(f"top_{n}gram_char_frac"))
+    for n in Q.REP_LADDER_DUP_NS:
+        cols.append(Q.dup_ngram_char_frac(t, n)
+                    .alias(f"dup_{n}gram_char_frac"))
+    stats = docs.select(*cols)
+    conds = Q.repetition_ladder_rules(DEFAULT_PROFILE)
+    rules = F.array_sort(F.filter(
+        F.array(*[F.when(c, F.lit(r)) for r, c in conds.items()]),
+        lambda x: x.isNotNull()))
+    return stats.withColumn("rules_str", F.array_join(rules, ","))
+
+
+def _ladder_sql() -> str:
+    from ..config import DEFAULT_PROFILE
+
+    tops = dict(DEFAULT_PROFILE.max_top_ngram_char_frac)
+    dups = dict(DEFAULT_PROFILE.max_dup_ngram_char_frac)
+    ctes, fracs, cases, joins = [], [], [], []
+    for n in sorted(tops) + sorted(dups):
+        k = n - 1
+        ctes.append(f"""
+g{n} AS (
+  SELECT doc_id, i, array_to_string(toks[i:i+{k}], ' ') AS gram
+  FROM (SELECT doc_id,
+               unnest(generate_series(1, greatest(len(toks)-{k}, 0))) AS i,
+               toks
+        FROM tt))""")
+    for n in sorted(tops):
+        k = n - 1
+        ctes.append(f"""
+top{n} AS (
+  SELECT doc_id, cnt * (length(gram) - {k}) AS cov
+  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g{n} GROUP BY 1, 2)
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+            ORDER BY cnt DESC, length(gram) - {k} DESC, gram ASC) = 1)""")
+        joins.append(f"LEFT JOIN top{n} USING (doc_id)")
+        fracs.append(
+            f"CASE WHEN total_chars <= 0 THEN 0.0 ELSE "
+            f"coalesce(top{n}.cov, 0)::DOUBLE / total_chars::DOUBLE END "
+            f"AS top_{n}gram_char_frac")
+        cases.append(f"CASE WHEN top_{n}gram_char_frac > {tops[n]} "
+                     f"THEN 'dup_top_{n}gram' END")
+    for n in sorted(dups):
+        k = n - 1
+        ctes.append(f"""
+d{n} AS (
+  SELECT doc_id, i
+  FROM (SELECT doc_id, i,
+               count(*) OVER (PARTITION BY doc_id, gram) AS cnt FROM g{n})
+  WHERE cnt > 1),
+cov{n} AS (
+  SELECT p.doc_id, sum(length(p.toks[p.j]))::BIGINT AS covered
+  FROM pos p
+  WHERE EXISTS (SELECT 1 FROM d{n} d
+                WHERE d.doc_id = p.doc_id
+                  AND d.i BETWEEN p.j - {k} AND p.j)
+  GROUP BY 1)""")
+        joins.append(f"LEFT JOIN cov{n} USING (doc_id)")
+        fracs.append(
+            f"CASE WHEN total_chars <= 0 THEN 0.0 ELSE "
+            f"coalesce(cov{n}.covered, 0)::DOUBLE / total_chars::DOUBLE END "
+            f"AS dup_{n}gram_char_frac")
+        cases.append(f"CASE WHEN dup_{n}gram_char_frac > {dups[n]} "
+                     f"THEN 'dup_{n}gram' END")
+    sep = ",\n    "
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         substr(text, 1, 120)
+           || repeat('{_REP_PHRASE}', (doc_id % 6)::INT) AS text
+  FROM documents
+),
+tc AS (SELECT doc_id, {_TOKS} AS toks FROM base),
+tt AS (SELECT doc_id, toks,
+              coalesce(list_sum(list_transform(toks, x -> length(x))),
+                       0)::BIGINT AS total_chars
+       FROM tc),
+pos AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS j, toks
+        FROM tt),{",".join(ctes)}
+, s AS (
+  SELECT tt.doc_id,
+    {sep.join(fracs)}
+  FROM tt {" ".join(joins)}
+)
+SELECT doc_id, {", ".join(c.split(" AS ")[-1] for c in fracs)},
+  coalesce(array_to_string(list_sort(list_filter([
+    {sep.join(cases)}
+  ], x -> x IS NOT NULL)), ','), '') AS rules_str
+FROM s
+"""
+
+
+QUERIES["q_repetition_ladder"] = q_repetition_ladder
+ORACLES["q_repetition_ladder"] = _ladder_sql()

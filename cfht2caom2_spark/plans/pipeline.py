@@ -250,6 +250,11 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
     # projection and re-evaluates the stats/rules tree per reference
     # (measured +23% job wall at 1M rows)
     df = with_quality_stats(df, text_col="extracted_text", lang_col="lang_pred")
+    if profile.gopher_repetition_gates:
+        from ..functions.quality import with_repetition_ladder
+
+        df = with_repetition_ladder(df, text_col="extracted_text",
+                                    lang_col="lang_pred")
     # continuous quality signal for downstream mixing (rides the same
     # narrow projection; sampling by score bucket happens at read time);
     # quality_weights: a train_quality_weights vector drops in here

@@ -146,6 +146,35 @@ def reference_labels(n_rows: int, seed: int = 42,
                 rules.add("lorem_ipsum")
             if profile.block_curly_brace and "{" in text:
                 rules.add("curly_brace")
+            if profile.gopher_repetition_gates:
+                tchars = sum(len(t) for t in toks)
+                for gn, thr in profile.max_top_ngram_char_frac:
+                    grams = [" ".join(toks[i:i + gn])
+                             for i in range(len(toks) - gn + 1)]
+                    if grams and tchars:
+                        counts: dict[str, int] = {}
+                        for g in grams:
+                            counts[g] = counts.get(g, 0) + 1
+                        cnt, glen, _g = max(
+                            ((c, len(g) - (gn - 1), g)
+                             for g, c in counts.items()),
+                            key=lambda t3: (t3[0], t3[1], [-ord(ch) for ch
+                                                           in t3[2]]))
+                        if cnt * glen / tchars > thr:
+                            rules.add(f"dup_top_{gn}gram")
+                for gn, thr in profile.max_dup_ngram_char_frac:
+                    grams = [" ".join(toks[i:i + gn])
+                             for i in range(len(toks) - gn + 1)]
+                    seen: dict[str, int] = {}
+                    for g in grams:
+                        seen[g] = seen.get(g, 0) + 1
+                    covered: set[int] = set()
+                    for i, g in enumerate(grams):
+                        if seen[g] > 1:
+                            covered.update(range(i, i + gn))
+                    cov = sum(len(toks[j]) for j in covered)
+                    if tchars and cov / tchars > thr:
+                        rules.add(f"dup_{gn}gram")
             if tox > profile.max_toxicity_hits:
                 rules.add("toxicity")
             thr = (profile.max_perplexity_zh if lang == "zh"

@@ -603,3 +603,41 @@ def test_c4_content_gates_in_pipeline(spark):
         pages, spark, profile=lax, dedupe=False, has_html=False).collect()}
     assert off["https://lorem.example/a"]["keep"]
     assert off["https://code.example/b"]["keep"]
+
+
+def test_gopher_repetition_ladder_in_pipeline(spark):
+    """Opt-in Gopher dup-ngram ladder: a doc that is one 6-word sentence
+    repeated over and over drops with the dup-5..10-gram rules fired; a doc
+    dominated by one repeated bigram fires the top-2-gram gate; clean prose
+    is untouched; default profile leaves the ladder off entirely."""
+    from dataclasses import replace
+
+    from cfht2caom2_spark.config import DEFAULT_PROFILE
+
+    looped = " ".join(["the quick brown fox jumps over"] * 12
+                      + [_CLEAN_A])
+    bigrammy = " ".join(["winter storm"] * 40) + " " + " ".join(
+        _CLEAN_A.split()[:40])
+    pages = _mk_pages(spark, [
+        ("https://loop.example/a", 0, looped),
+        ("https://bigram.example/b", 1, bigrammy),
+        ("https://ok.example/c", 2, _CLEAN_A),
+    ])
+    prof = replace(DEFAULT_PROFILE, gopher_repetition_gates=True)
+    out = {r["url"]: r for r in build_pipeline(
+        pages, spark, profile=prof, dedupe=False, has_html=False).collect()}
+    a = out["https://loop.example/a"]
+    assert {"dup_5gram", "dup_6gram"} <= set(a["rules"])
+    assert not a["keep"]
+    b = out["https://bigram.example/b"]
+    assert "dup_top_2gram" in b["rules"]
+    assert not b["keep"]
+    assert not any(r.startswith("dup_") for r in
+                   out["https://ok.example/c"]["rules"])
+
+    # default profile: ladder off, the looped doc is caught (or not) only
+    # by the always-on repetition gates — no dup_* rules ever appear
+    off = {r["url"]: r for r in build_pipeline(
+        pages, spark, dedupe=False, has_html=False).collect()}
+    assert not any(r.startswith("dup_") for row in off.values()
+                   for r in row["rules"])

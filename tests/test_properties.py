@@ -122,3 +122,51 @@ def test_repeated_spans_matches_python_reference(spark, data):
     got = {r["doc_id"]: (r["n_tokens"], r["n_spans"], r["dup_token_count"])
            for r in repeated_spans(df, k=k, min_count=2).collect()}
     assert got == _ref_repeated_spans(docs, k, 2)
+
+
+def _ref_ladder(toks: list[str], n: int) -> tuple[float, float]:
+    """Independent python model of (top_ngram_char_frac,
+    dup_ngram_char_frac): counts via dict, coverage via position set."""
+    tchars = sum(len(t) for t in toks)
+    grams = ([" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+             if len(toks) >= n else [])
+    if not grams or not tchars:
+        return 0.0, 0.0
+    counts: dict[str, int] = {}
+    for g in grams:
+        counts[g] = counts.get(g, 0) + 1
+    # max (count, token-chars), lexicographically-smallest gram on full tie
+    best = min(sorted(counts.items()),
+               key=lambda kv: (-kv[1], -(len(kv[0]) - (n - 1))))
+    top = best[1] * (len(best[0]) - (n - 1)) / tchars
+    covered: set[int] = set()
+    for i, g in enumerate(grams):
+        if counts[g] > 1:
+            covered.update(range(i, i + n))
+    dup = sum(len(toks[j]) for j in covered) / tchars
+    return top, dup
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_repetition_ladder_matches_python_reference(spark, data):
+    """Random repetition-prone token streams: the one-fold Spark exprs for
+    the Gopher ladder must equal the independent python model bit-for-bit
+    (integer numerators/denominators, one final division on both sides)."""
+    from pyspark.sql import functions as F
+
+    from cfht2caom2_spark.functions import quality as Q
+
+    word = st.sampled_from(["aa", "bbb", "c", "dd"])
+    doc = st.lists(word, min_size=0, max_size=40).map(" ".join)
+    docs = [(i, data.draw(doc)) for i in range(data.draw(st.integers(2, 4)))]
+    n = data.draw(st.sampled_from([2, 3, 5, 7]))
+    df = spark.createDataFrame(docs, "doc_id bigint, text string") \
+        .withColumn("_toks", Q.tokens(F.col("text")))
+    got = {r["doc_id"]: (r["top"], r["dup"]) for r in df.select(
+        "doc_id",
+        Q.top_ngram_char_frac(F.col("_toks"), n).alias("top"),
+        Q.dup_ngram_char_frac(F.col("_toks"), n).alias("dup"),
+    ).collect()}
+    want = {i: _ref_ladder(t.split(), n) for i, t in docs}
+    assert got == want
