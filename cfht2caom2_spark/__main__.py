@@ -57,6 +57,13 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--span-dedup", action="store_true",
                    help="ExactSubstr keep-one span removal: strip later "
                         "occurrences of >=50-token runs (operators/spans.py)")
+    b.add_argument("--gopher-gates", action="store_true",
+                   help="enable the full Gopher dup-ngram ladder "
+                        "(top-2/3/4-gram + dup-5..10-gram char fractions "
+                        "at the published thresholds; costlier stat stage)")
+    b.add_argument("--min-sentences", type=int, default=0,
+                   help="C4 page gate: drop docs with fewer than N "
+                        "sentences (0 = off; C4 uses 3)")
     b.add_argument("--benchmark", default=None,
                    help="parquet of eval-suite docs (column `text`); docs "
                         "overlapping it fire the `contaminated` drop rule")
@@ -171,7 +178,9 @@ def main(argv: list[str] | None = None) -> int:
                           host_lang_backfill=args.host_backfill,
                           boilerplate_removal=args.boilerplate,
                           span_removal=args.span_dedup,
-                          canonicalize_urls=args.canonical_urls)
+                          canonicalize_urls=args.canonical_urls,
+                          gopher_repetition_gates=args.gopher_gates,
+                          min_sentences=args.min_sentences)
         benchmark = (spark.read.parquet(args.benchmark)
                      if args.benchmark else None)
         qw = None
