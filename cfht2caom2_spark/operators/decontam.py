@@ -135,3 +135,71 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
             .alias("contaminated"),
         )
     )
+
+
+def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        bands: int = 8, rows_per_band: int = 2, k: int = 3,
+                        min_est_jaccard: float = 0.5,
+                        hash_fn=None, hint_broadcast: bool = False) -> DataFrame:
+    """Near-duplicate (fuzzy) decontamination: flag training docs whose
+    MinHash signature collides with an eval-suite doc in any LSH band AND
+    whose signature agreement estimates Jaccard >= ``min_est_jaccard``.
+
+    Complements the exact k-gram pass (``decontaminate``): paraphrased or
+    lightly-edited eval leakage shares few exact 3-grams but keeps a high
+    shingle Jaccard, which the banded signature still catches (Lee et al.
+    2022 §6 uses the same two-tier exact+fuzzy hygiene).  Reference
+    analogue: the reject-list lookup (reference cfht_name.py:560-575), here
+    with approximate instead of exact membership.
+
+    Scale shape (10^12 training docs, ~10^6 eval docs):
+      * eval side is BOUNDED: its banded-key table is (bands × n_eval) slim
+        rows — genuinely broadcastable (``hint_broadcast``; left to AQE by
+        default), so the corpus band stream is pruned map-side with NO
+        corpus-side shuffle beyond the candidate distinct.
+      * corpus side pays one signature fold (shared discipline with the
+        dedup family: the slim (id, 16-long) sig frame is materialized once
+        and reused for banding and the agreement join).
+      * only band-colliding docs (a tiny fraction) reach the agreement join
+        and per-doc aggregation.
+
+    Returns flagged docs only: (id, n_bench_matches, max_est_jaccard) —
+    est_jaccard = fraction of agreeing signature components (granularity
+    1/num_perms), exact-rational in both engines so the DuckDB twin matches
+    bitwise.
+    """
+    from .dedup import banded_keys, minhash_signature
+
+    num_perms = bands * rows_per_band
+    sig_d = docs.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(F.col(text_col), num_perms, k, hash_fn).alias("_sig"),
+    ).localCheckpoint(eager=False)
+    sig_b = bench.select(
+        F.col(id_col).alias("_bid"),
+        minhash_signature(F.col(text_col), num_perms, k, hash_fn).alias("_bsig"),
+    ).localCheckpoint(eager=False)
+
+    band_d = banded_keys(sig_d, "_id", bands, rows_per_band)
+    band_b = banded_keys(sig_b, "_bid", bands, rows_per_band, sig_col="_bsig")
+    if hint_broadcast:
+        band_b = F.broadcast(band_b)
+    cand = band_d.join(band_b, ["band", "key"]).select("_id", "_bid").distinct()
+
+    agree = F.aggregate(
+        F.zip_with(F.col("_sig"), F.col("_bsig"),
+                   lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, x: acc + x)
+    scored = (
+        cand.join(sig_d, "_id").join(sig_b, "_bid")
+        .withColumn("_ej", agree / F.lit(float(num_perms)))
+        .filter(F.col("_ej") >= min_est_jaccard)
+    )
+    return (
+        scored.groupBy("_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bench_matches"),
+             F.max("_ej").alias("max_est_jaccard"))
+        .select(F.col("_id").alias(id_col), "n_bench_matches",
+                "max_est_jaccard")
+    )

@@ -116,6 +116,26 @@ def minhash_signature(text: Column, num_perms: int, k: int = 3,
     return F.aggregate(hashes, init, step)
 
 
+def banded_keys(sig: DataFrame, id_col: str,
+                bands: int, rows_per_band: int,
+                sig_col: str = "_sig") -> DataFrame:
+    """(id, band, key) LSH bucket rows from a (id, signature-array) frame —
+    one explode (rows -> rows×bands); band keys concatenate the band's
+    minhashes.  Shared by the near-dup self-join (lsh_candidate_pairs) and
+    the corpus×eval fuzzy-decontamination join (decontam.fuzzy_decontaminate)."""
+    return sig.select(
+        id_col,
+        F.explode(F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), lambda b:
+            F.struct(
+                b.alias("band"),
+                F.concat_ws("_", *[
+                    F.element_at(F.col(sig_col), (b * rows_per_band + r + 1).cast("int"))
+                    for r in range(rows_per_band)
+                ]).alias("key"),
+            ))).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                         bands: int = 8, rows_per_band: int = 2,
                         k: int = 3, hash_fn=None) -> DataFrame:
@@ -134,17 +154,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     # fold from the input otherwise — materialize the slim (id, 32-long)
     # signature frame once (same pay-once discipline as simhash_pairs)
     sig = sig.localCheckpoint(eager=False)
-    banded = sig.select(
-        "_id",
-        F.explode(F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), lambda b:
-            F.struct(
-                b.alias("band"),
-                F.concat_ws("_", *[
-                    F.element_at(F.col("_sig"), (b * rows_per_band + r + 1).cast("int"))
-                    for r in range(rows_per_band)
-                ]).alias("key"),
-            ))).alias("bk"),
-    ).select("_id", "bk.band", "bk.key")
+    banded = banded_keys(sig, "_id", bands, rows_per_band)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (

@@ -1732,6 +1732,75 @@ NO_ORACLE_QUERIES["q_dedup_clusters_fast"] = q_dedup_clusters_fast
 
 
 # --------------------------------------------------------------------------
+# fuzzy (MinHash) decontamination — near-dup eval overlap, not just exact
+# k-grams (operators/decontam.py::fuzzy_decontaminate)
+# --------------------------------------------------------------------------
+
+FUZZY_DECONTAM_MIN_EJ = 0.5   # >= 8 of 16 signature components agree
+
+
+def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs whose MinHash signature band-collides with an
+    eval doc and agrees on >= half the components (paraphrase-robust
+    two-tier hygiene beside the exact pass q_decontaminate; eval suite =
+    the same deterministic doc_id slice, so slice members self-flag at
+    est_jaccard 1.0 — the expected signal)."""
+    from ..operators.decontam import fuzzy_decontaminate
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+    # md5-derived shingle_hash for oracle parity; production swaps
+    # hash_fn=shingle_hash_fast (crc32), same as the dedup family
+    return fuzzy_decontaminate(docs, bench, id_col="doc_id", text_col="text",
+                               bands=MH_BANDS, rows_per_band=MH_ROWS, k=3,
+                               min_est_jaccard=FUZZY_DECONTAM_MIN_EJ,
+                               hash_fn=shingle_hash)
+
+
+def _fuzzy_decontam_sql() -> str:
+    np = MH_BANDS * MH_ROWS
+    perms = _perm_params(np)
+    mh_exprs = ", ".join(
+        f"list_min(list_transform(sh, s -> ({a} * {_SHINGLE_HASH.format(s='s')} + {b})"
+        f" % {MERSENNE_31}))"
+        for a, b in perms
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_shingles_sql(_TOKS, 3)} AS sh FROM documents
+),
+sig AS (
+  SELECT doc_id, [{mh_exprs}] AS s FROM t
+),
+banded AS (
+  SELECT doc_id, b,
+         s[{MH_ROWS}*b + 1]::VARCHAR || '_' || s[{MH_ROWS}*b + 2]::VARCHAR AS key
+  FROM sig, UNNEST(generate_series(0, {MH_BANDS - 1})) AS u(b)
+),
+cand AS (
+  SELECT DISTINCT d.doc_id, r.doc_id AS bid
+  FROM banded d JOIN banded r ON d.b = r.b AND d.key = r.key
+  WHERE r.doc_id % {DECONTAM_BENCH_MOD} = 0
+),
+scored AS (
+  SELECT c.doc_id,
+         len(list_filter(generate_series(1, {np}),
+                         i -> sd.s[i] = sb.s[i])) / {np}.0 AS ej
+  FROM cand c
+  JOIN sig sd ON sd.doc_id = c.doc_id
+  JOIN sig sb ON sb.doc_id = c.bid
+)
+SELECT doc_id, count(*)::BIGINT AS n_bench_matches,
+       max(ej) AS max_est_jaccard
+FROM scored WHERE ej >= {FUZZY_DECONTAM_MIN_EJ} GROUP BY doc_id
+"""
+
+
+QUERIES["q_fuzzy_decontaminate"] = q_fuzzy_decontaminate
+ORACLES["q_fuzzy_decontaminate"] = _fuzzy_decontam_sql()
+
+
+# --------------------------------------------------------------------------
 # exact-substring repeated spans (operators/spans.py, ExactSubstr dedup)
 # --------------------------------------------------------------------------
 

@@ -402,6 +402,41 @@ def test_decontaminate_hash_fn_swap_same_flags(spark):
     assert a[0] is True  # the benchmark doc itself is fully self-contaminated
 
 
+def test_fuzzy_decontaminate_flags_neardup_and_spares_disjoint(spark):
+    """A lightly-edited copy of an eval doc (one word changed — few exact
+    3-grams survive but shingle Jaccard stays high) is flagged by the fuzzy
+    pass; disjoint text never reaches the agreement join.  Exact copies
+    self-flag at est_jaccard 1.0."""
+    from cfht2caom2_spark.operators.decontam import fuzzy_decontaminate
+
+    bench_text = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                  "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    edited = bench_text.replace("iota", "jota")  # one-token paraphrase
+    train = spark.createDataFrame(
+        [
+            (1, bench_text),   # exact copy -> est_jaccard 1.0
+            (2, edited),       # near-dup -> flagged by signature agreement
+            (3, "totally disjoint content about something else entirely ok "
+                "padded with more unrelated words to cross shingle minimum"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)],
+                                  "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           fuzzy_decontaminate(train, bench, min_est_jaccard=0.5).collect()}
+    assert out[1]["max_est_jaccard"] == 1.0
+    assert 2 in out and out[2]["max_est_jaccard"] >= 0.5
+    assert 3 not in out
+    # the exact pass loses 3 of the 18 grams to the one-token edit (every
+    # 3-gram covering the changed token), so a full-overlap requirement
+    # misses the paraphrase — the reason the fuzzy tier exists
+    from cfht2caom2_spark.operators.decontam import decontaminate
+    exact = {r["doc_id"]: r for r in decontaminate(
+        train.filter("doc_id = 2"), bench, min_overlap=18).collect()}
+    assert exact[2]["n_overlap"] == 15 and not exact[2]["contaminated"]
+
+
 # --- stratified sampling -----------------------------------------------------
 
 def test_stratified_sample_deterministic_and_nested(spark):
