@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "q_bigram_counts", "q_vocab_counts", "q_char_bigram_counts",
     "q_url_canonical", "q_dsir_weights", "q_dsir_sample", "q_char_stats",
     "q_bpe_tokens", "q_line_format_stats", "q_repetition_ladder",
+    "q_fuzzy_decontaminate",
     "q_pipeline_flagship",
 ]
 
@@ -113,7 +114,7 @@ def run_suite() -> None:
         json.dump(result, fh)
     spark.stop()
     sys.stdout.flush()
-    print(json.dumps(compact_stdout_record(result)))
+    print(compact_stdout_line(result))
 
 
 # the driver keeps only a ~2,000-char tail of stdout: rounds 2-4 lost their
@@ -127,13 +128,29 @@ def compact_stdout_record(result: dict) -> dict:
     compact = {k: v for k, v in result.items()
                if k not in ("last_measured_scaling",
                             "last_measured_exec_scaling")}
-    if len(json.dumps(compact)) > _STDOUT_BUDGET:
+    if "queries" in compact:
+        # 2-decimal timings on stdout only — full precision stays in
+        # .bench_last.json; at 58 registry queries the 3rd decimal is the
+        # difference between fitting the driver's tail capture and not
+        compact["queries"] = {k: round(v, 2)
+                              for k, v in compact["queries"].items()}
+    if len(compact_json(compact)) > _STDOUT_BUDGET:
         # last-ditch guard (must never fire for the checked-in registry —
         # tests/test_bench_contract.py pins that): shed the per-query map
         # rather than ship an unparseable line
         compact = {k: v for k, v in compact.items() if k != "queries"}
         compact["queries_in"] = ".bench_last.json"
     return compact
+
+
+def compact_json(obj: dict) -> str:
+    """Whitespace-free JSON — ~2 bytes per key saved vs the default
+    separators, ~130 bytes across the 58-query map."""
+    return json.dumps(obj, separators=(",", ":"))
+
+
+def compact_stdout_line(result: dict) -> str:
+    return compact_json(compact_stdout_record(result))
 
 
 _EVIDENCE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -39,7 +39,7 @@ def _full_result() -> dict:
 
 
 def test_stdout_line_fits_driver_tail_with_queries():
-    line = json.dumps(bench.compact_stdout_record(_full_result()))
+    line = bench.compact_stdout_line(_full_result())
     assert len(line) <= bench._STDOUT_BUDGET, (
         f"stdout bench line is {len(line)}B > {bench._STDOUT_BUDGET}B budget"
         " — the driver's tail capture would truncate it (BENCH_r{N}.json"
@@ -47,7 +47,8 @@ def test_stdout_line_fits_driver_tail_with_queries():
         " the registry's stdout footprint")
     parsed = json.loads(line)
     # per-query timings must survive compaction for the checked-in registry
-    assert parsed["queries"] == {n: 9999.999 for n in bench.BENCH_QUERIES}
+    # (2-decimal on stdout; .bench_last.json keeps full precision)
+    assert parsed["queries"] == {n: 10000.0 for n in bench.BENCH_QUERIES}
     assert "last_measured_scaling" not in parsed
     assert "last_measured_exec_scaling" not in parsed
 
@@ -57,7 +58,7 @@ def test_stdout_guard_sheds_queries_rather_than_overflow():
     # a pathological registry 10x today's size must still print parseable
     result["queries"] = {f"q_pathologically_long_query_name_{i:04d}": 1.0
                          for i in range(500)}
-    line = json.dumps(bench.compact_stdout_record(result))
+    line = bench.compact_stdout_line(result)
     assert len(line) <= bench._STDOUT_BUDGET
     assert json.loads(line)["queries_in"] == ".bench_last.json"
 
