@@ -53,7 +53,7 @@ BENCH_QUERIES = [
     "q_bigram_counts", "q_vocab_counts", "q_char_bigram_counts",
     "q_url_canonical", "q_dsir_weights", "q_dsir_sample", "q_char_stats",
     "q_bpe_tokens", "q_line_format_stats", "q_repetition_ladder",
-    "q_fuzzy_decontaminate",
+    "q_fuzzy_decontaminate", "q_corpus_shuffle", "q_pack_blocks",
     "q_pipeline_flagship",
 ]
 

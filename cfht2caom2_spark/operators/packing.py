@@ -1,0 +1,115 @@
+"""Training-corpus ordering operators: deterministic global shuffle and
+GPT-style fixed-length block packing.
+
+Reference analogue: the reference fixes a deterministic processing order for
+its work list before execution (todo-list construction,
+/root/reference/cfht2caom2/composable.py work-plan assembly) — here the
+"order" IS the training artifact: pretraining wants documents in a
+pseudo-random but REPRODUCIBLE order, then concatenated and chopped into
+fixed-length token blocks (docs crossing block boundaries, GPT-2/3 style).
+
+Scale shape (10^12 docs):
+  * ``global_shuffle`` is one range-partitioned sort on an 8-byte hash key —
+    Spark's orderBy is the TeraSort shape (sampled range boundaries, no
+    single-reducer stage); nothing else shuffles.
+  * ``pack_blocks`` needs a GLOBAL exclusive cumulative token sum.  A bare
+    ``Window.orderBy`` with no partitionBy collapses to ONE partition —
+    the classic non-scalable trap — so it is built as the two-stage scan:
+    range-partition by the order key, per-partition cumsum (window inside
+    each partition), then a per-partition-total exclusive prefix joined
+    back by partition id.  The prefix frame is n_partitions rows (KBs even
+    at 10^5 partitions) — the only single-partition window runs over THAT,
+    never over the corpus — and is broadcast back.  The ranged frame is
+    pinned with an eager localCheckpoint: range boundaries come from
+    sampling, and the prefix map must describe the SAME partitioning the
+    final join evaluates against (a lazy plan could legally resample).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.tokens import ws_token_count
+from .dedup import hash60
+
+
+def shuffle_key(id_col: Column, seed: int, hash_fn=None) -> Column:
+    """Deterministic pseudo-random sort key for a document id: hash of
+    ``"<id>:<seed>"``.  Default ``hash_fn`` is the oracle-portable md5-based
+    hash60 (identical expression in DuckDB); production swaps
+    ``dedup.hash60_fast`` (xxhash64) — same contract as the shingle-hash
+    pairs used throughout the dedup family."""
+    return (hash_fn or hash60)(
+        F.concat_ws(":", id_col.cast("string"), F.lit(str(seed))))
+
+
+def global_shuffle(df: DataFrame, id_col: str = "doc_id", seed: int = 0,
+                   hash_fn=None, key_out: str = "shuffle_key") -> DataFrame:
+    """The corpus in deterministic pseudo-random order: sort by
+    (hash(id, seed), id) — the id tiebreak makes the order total even under
+    hash collisions.  Same seed -> byte-identical order on any cluster
+    size; a new seed is a fresh epoch permutation with zero state."""
+    return (df.withColumn(key_out, shuffle_key(F.col(id_col), seed, hash_fn))
+              .orderBy(key_out, id_col))
+
+
+def pack_blocks(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", block_tokens: int = 1024,
+                count_fn=ws_token_count, order_col: str | None = None,
+                num_partitions: int | None = None) -> DataFrame:
+    """Assign every document its token span in the concatenate-and-chop
+    packing: docs are laid end-to-end in ``order_col`` order (default: the
+    id itself; pass a ``global_shuffle`` key column for shuffled epochs) and
+    cut into ``block_tokens``-sized training blocks, documents crossing
+    boundaries.
+
+    Returns one row per doc: (id, n_tokens, start_offset, first_block,
+    last_block, n_blocks) where start_offset is the doc's position in the
+    global token stream and first/last_block the block ids it touches
+    (n_blocks = 0 for empty docs, which occupy no span).  The mapping is a
+    pure function of the input — partitioning-invariant (pinned by
+    tests/test_operators.py) — because prefix + local cumsum equals the
+    global cumsum for ANY contiguous range split.
+    """
+    order = order_col or id_col
+    sel = [F.col(id_col), F.col(order).alias("_ord"),
+           count_fn(F.col(text_col)).alias("n_tokens")]
+    slim = docs.select(*sel)
+    if num_partitions:
+        slim = slim.repartitionByRange(num_partitions, "_ord", id_col)
+    else:
+        slim = slim.repartitionByRange("_ord", id_col)
+    # pin the sampled range boundaries: totals and the final join must see
+    # the same physical partitioning (see module docstring)
+    slim = slim.localCheckpoint(eager=True)
+    slim = slim.withColumn("_pid", F.spark_partition_id())
+
+    local = Window.partitionBy("_pid").orderBy("_ord", id_col) \
+                  .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_local = slim.withColumn("_local_cum", F.sum("n_tokens").over(local))
+
+    totals = slim.groupBy("_pid").agg(F.sum("n_tokens").alias("_tot"))
+    # exclusive prefix over the tiny per-partition totals frame — the ONLY
+    # unpartitioned window, n_partitions rows
+    prefix_w = Window.orderBy("_pid") \
+                     .rowsBetween(Window.unboundedPreceding, -1)
+    prefix = totals.select(
+        "_pid", F.coalesce(F.sum("_tot").over(prefix_w),
+                           F.lit(0)).alias("_prefix"))
+
+    start = F.col("_prefix") + F.col("_local_cum") - F.col("n_tokens")
+    lit_b = F.lit(int(block_tokens))
+    first = F.floor(start / lit_b)
+    last = F.when(F.col("n_tokens") > 0,
+                  F.floor((start + F.col("n_tokens") - 1) / lit_b)) \
+            .otherwise(first)
+    return (with_local.join(F.broadcast(prefix), "_pid")
+            .select(
+                F.col(id_col), F.col("n_tokens"),
+                start.cast("bigint").alias("start_offset"),
+                first.cast("bigint").alias("first_block"),
+                last.cast("bigint").alias("last_block"),
+                F.when(F.col("n_tokens") > 0, last - first + 1)
+                 .otherwise(F.lit(0)).cast("bigint").alias("n_blocks"),
+            ))

@@ -2838,3 +2838,91 @@ FROM s
 
 QUERIES["q_repetition_ladder"] = q_repetition_ladder
 ORACLES["q_repetition_ladder"] = _ladder_sql()
+
+
+# --------------------------------------------------------------------------
+# training-corpus ordering: deterministic global shuffle + fixed-length
+# block packing (operators/packing.py)
+# --------------------------------------------------------------------------
+
+SHUFFLE_SEED = 7
+SHUFFLE_TOPN = 100
+PACK_BLOCK_TOKENS = 128
+_HASH60 = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First SHUFFLE_TOPN docs of the seed-7 epoch permutation with their
+    rank — evidences the deterministic total order (hash60(id:seed), id).
+    The full-corpus path is the same orderBy (TeraSort-shaped range sort);
+    the limit keeps the registry row count bounded.  Rank is computed over
+    the already-limited 100-row frame, so the unpartitioned row_number
+    window never sees the corpus."""
+    from ..operators.packing import global_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    top = global_shuffle(docs, "doc_id", SHUFFLE_SEED).limit(SHUFFLE_TOPN)
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return top.withColumn("shuffle_rank",
+                          F.row_number().over(w).cast("bigint"))
+
+
+_CORPUS_SHUFFLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         {_HASH60.format(s=f"doc_id::VARCHAR || ':' || '{SHUFFLE_SEED}'")}
+           AS shuffle_key
+  FROM documents
+),
+top AS (
+  SELECT doc_id, shuffle_key FROM keyed
+  ORDER BY shuffle_key, doc_id LIMIT {SHUFFLE_TOPN}
+)
+SELECT doc_id, shuffle_key,
+       row_number() OVER (ORDER BY shuffle_key, doc_id)::BIGINT
+         AS shuffle_rank
+FROM top
+"""
+
+
+def q_pack_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chop packing map at PACK_BLOCK_TOKENS tokens/block in
+    doc_id order: every doc's global token offset and the block ids it
+    spans.  The global cumsum runs as the two-stage range-partition scan
+    (operators/packing.py) — the oracle's single window cumsum is the
+    semantics it must reproduce on any partitioning."""
+    from ..operators.packing import pack_blocks
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_blocks(docs, "doc_id", "text",
+                       block_tokens=PACK_BLOCK_TOKENS)
+
+
+_PACK_BLOCKS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       (start_offset // {PACK_BLOCK_TOKENS})::BIGINT AS first_block,
+       CASE WHEN n_tokens > 0
+            THEN (start_offset + n_tokens - 1) // {PACK_BLOCK_TOKENS}
+            ELSE start_offset // {PACK_BLOCK_TOKENS} END::BIGINT AS last_block,
+       CASE WHEN n_tokens > 0
+            THEN (start_offset + n_tokens - 1) // {PACK_BLOCK_TOKENS}
+                 - start_offset // {PACK_BLOCK_TOKENS} + 1
+            ELSE 0 END::BIGINT AS n_blocks
+FROM c
+"""
+
+
+QUERIES["q_corpus_shuffle"] = q_corpus_shuffle
+ORACLES["q_corpus_shuffle"] = _CORPUS_SHUFFLE_SQL
+QUERIES["q_pack_blocks"] = q_pack_blocks
+ORACLES["q_pack_blocks"] = _PACK_BLOCKS_SQL

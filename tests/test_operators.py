@@ -870,3 +870,48 @@ def test_semantic_keep_one_chain_collapse(spark):
                                       n_planes=2).collect()}
     assert out == {1: (1, True), 2: (1, False), 3: (1, False),
                    4: (4, True)}
+
+
+# --- corpus ordering: global shuffle + block packing -------------------------
+
+def test_pack_blocks_partitioning_invariant_and_contiguous(spark):
+    """The packing map is a pure function of the input: identical under
+    different range-partition counts (prefix + local cumsum == global
+    cumsum for any contiguous split), spans are contiguous and gap-free,
+    and empty docs occupy no span."""
+    from cfht2caom2_spark.operators.packing import pack_blocks
+
+    rows = [(i, " ".join(f"w{j}" for j in range(i % 17))) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = {r["doc_id"]: r.asDict() for r in
+         pack_blocks(docs, block_tokens=10, num_partitions=2).collect()}
+    b = {r["doc_id"]: r.asDict() for r in
+         pack_blocks(docs, block_tokens=10, num_partitions=7).collect()}
+    assert a == b
+    # contiguous token stream in doc_id order: each start = prev start + n
+    off = 0
+    for i in range(60):
+        assert a[i]["start_offset"] == off
+        off += a[i]["n_tokens"]
+        if a[i]["n_tokens"] == 0:
+            assert a[i]["n_blocks"] == 0
+        else:
+            assert a[i]["first_block"] == a[i]["start_offset"] // 10
+            assert (a[i]["last_block"]
+                    == (a[i]["start_offset"] + a[i]["n_tokens"] - 1) // 10)
+
+
+def test_global_shuffle_deterministic_epochs(spark):
+    """Same seed -> identical order on any partitioning; different seed ->
+    a different permutation of the same ids (a fresh epoch)."""
+    from cfht2caom2_spark.operators.packing import global_shuffle
+
+    docs = spark.createDataFrame([(i, "x") for i in range(200)],
+                                 "doc_id bigint, text string")
+    o1 = [r["doc_id"] for r in global_shuffle(docs, seed=1).collect()]
+    o1b = [r["doc_id"] for r in
+           global_shuffle(docs.repartition(7), seed=1).collect()]
+    o2 = [r["doc_id"] for r in global_shuffle(docs, seed=2).collect()]
+    assert o1 == o1b
+    assert sorted(o1) == sorted(o2) == list(range(200))
+    assert o1 != o2 and o1 != list(range(200))
