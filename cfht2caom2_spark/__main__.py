@@ -67,6 +67,12 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--benchmark", default=None,
                    help="parquet of eval-suite docs (column `text`); docs "
                         "overlapping it fire the `contaminated` drop rule")
+    b.add_argument("--fuzzy-decontam", action="store_true",
+                   help="with --benchmark: also flag NEAR-duplicates of "
+                        "eval docs (MinHash signature agreement >= 0.5 "
+                        "estimated Jaccard) as `contaminated_fuzzy` — "
+                        "catches paraphrased leakage the exact k-gram "
+                        "pass misses")
 
     s = sub.add_parser("state", help="incremental snapshot-range tick")
     s.add_argument("--table", required=True, help="SnapshotTable root")
@@ -147,6 +153,22 @@ def main(argv: list[str] | None = None) -> int:
                     help="fixed feature-bucket count (production mode; "
                          "0 = string features with the min-count prune)")
 
+    pk = sub.add_parser("pack",
+                        help="pack a decisions store's kept docs into "
+                             "fixed-length training blocks: deterministic "
+                             "epoch shuffle, then the concatenate-and-chop "
+                             "token-span map (operators/packing.py)")
+    pk.add_argument("--decisions", required=True,
+                    help="decisions parquet dir")
+    pk.add_argument("--out", required=True,
+                    help="output dir for the per-doc packing map parquet")
+    pk.add_argument("--block-tokens", type=int, default=1024)
+    pk.add_argument("--seed", type=int, default=0,
+                    help="epoch permutation seed (same seed = byte-"
+                         "identical order on any cluster size)")
+    pk.add_argument("--no-shuffle", action="store_true",
+                    help="pack in url order instead of the epoch shuffle")
+
     g = sub.add_parser("synth", help="generate a synthetic pages table")
     g.add_argument("--out", required=True)
     g.add_argument("--rows", type=int, default=100_000)
@@ -180,7 +202,8 @@ def main(argv: list[str] | None = None) -> int:
                           span_removal=args.span_dedup,
                           canonicalize_urls=args.canonical_urls,
                           gopher_repetition_gates=args.gopher_gates,
-                          min_sentences=args.min_sentences)
+                          min_sentences=args.min_sentences,
+                          decontam_fuzzy=args.fuzzy_decontam)
         benchmark = (spark.read.parquet(args.benchmark)
                      if args.benchmark else None)
         qw = None
@@ -283,6 +306,45 @@ def main(argv: list[str] | None = None) -> int:
             sel.write.mode("overwrite").parquet(f"{args.out}/selected")
             summary["selected"] = args.top_k
         print(json.dumps(summary))
+    elif args.mode == "pack":
+        from pyspark.sql import functions as F
+
+        from .functions.tokens import bpe_ish_token_count
+        from .operators.dedup import hash60_fast
+        from .operators.packing import pack_blocks, shuffle_key
+
+        decisions = spark.read.parquet(args.decisions)
+        # (url, warc_ts) is the row identity: re-crawls of one url with
+        # different content are distinct kept training docs
+        kept = decisions.filter("keep").select("url", "warc_ts",
+                                               "scrubbed_text")
+        order_col = "url"
+        if not args.no_shuffle:
+            # production hash (xxhash64) — the oracle-portable md5 path is
+            # pinned by q_corpus_shuffle; the ordering contract is identical
+            kept = kept.withColumn(
+                "_epoch_key",
+                shuffle_key(F.concat_ws("#", F.col("url"),
+                                        F.col("warc_ts").cast("string")),
+                            args.seed, hash60_fast))
+            order_col = "_epoch_key"
+        packed = pack_blocks(kept, id_col=["url", "warc_ts"],
+                             text_col="scrubbed_text",
+                             block_tokens=args.block_tokens,
+                             count_fn=bpe_ish_token_count,
+                             order_col=order_col)
+        packed.write.mode("overwrite").parquet(args.out)
+        stats = spark.read.parquet(args.out).agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+            (F.max("last_block") + 1).alias("blocks")).first()
+        print(json.dumps({"docs": stats["docs"],
+                          "tokens": stats["tokens"] or 0,
+                          "blocks": stats["blocks"] if stats["blocks"]
+                          is not None else 0,
+                          "block_tokens": args.block_tokens,
+                          "seed": None if args.no_shuffle else args.seed,
+                          "out": args.out}))
     elif args.mode == "compact":
         from .operators.compact import compact_decisions
 

@@ -170,6 +170,15 @@ class RuleProfile:
     # the synthetic corpus: 122/294 false flags).
     decontam_k: int = 13
     decontam_min_overlap: int = 1
+    # Fuzzy decontamination tier (decontam.fuzzy_decontaminate): MinHash
+    # signature agreement vs the eval suite catches paraphrased leakage the
+    # exact k-gram pass misses (one edited token destroys every covering
+    # 13-gram but barely moves shingle Jaccard — Lee et al. 2022 §6 two-tier
+    # hygiene).  Opt-in: it adds a second corpus signature fold.
+    decontam_fuzzy: bool = False
+    decontam_fuzzy_min_jaccard: float = 0.5
+    decontam_fuzzy_bands: int = 8
+    decontam_fuzzy_rows: int = 2
 
     def rule_versions(self) -> dict[str, str]:
         """Per-rule version map recorded in lineage rows (north_rule)."""
@@ -187,6 +196,7 @@ RULE_IDS: tuple[str, ...] = (
     "dup_10gram",
     "perplexity", "lang_conf", "lang_blocked", "blocked_domain", "toxicity",
     "exact_duplicate", "near_duplicate", "contaminated",
+    "contaminated_fuzzy",
 )
 
 DEFAULT_PROFILE = RuleProfile()

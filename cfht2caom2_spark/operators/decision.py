@@ -68,6 +68,7 @@ def with_decision(df: DataFrame, profile: RuleProfile,
                   near_dup_col: str | None = None,
                   exact_dup_col: str | None = None,
                   contaminated_col: str | None = None,
+                  contaminated_fuzzy_col: str | None = None,
                   url_col: str | None = "url") -> DataFrame:
     """Append ``rules array<string>`` + ``keep boolean``.
 
@@ -99,6 +100,8 @@ def with_decision(df: DataFrame, profile: RuleProfile,
         rules["exact_duplicate"] = F.col(exact_dup_col)
     if contaminated_col is not None:
         rules["contaminated"] = F.col(contaminated_col)
+    if contaminated_fuzzy_col is not None:
+        rules["contaminated_fuzzy"] = F.col(contaminated_fuzzy_col)
 
     # a null payload fires ONLY empty_payload: stats are null there, and
     # assemble_rules treats null conditions as not-fired.

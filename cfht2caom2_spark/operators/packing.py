@@ -15,14 +15,22 @@ Scale shape (10^12 docs):
   * ``pack_blocks`` needs a GLOBAL exclusive cumulative token sum.  A bare
     ``Window.orderBy`` with no partitionBy collapses to ONE partition —
     the classic non-scalable trap — so it is built as the two-stage scan:
-    range-partition by the order key, per-partition cumsum (window inside
-    each partition), then a per-partition-total exclusive prefix joined
-    back by partition id.  The prefix frame is n_partitions rows (KBs even
-    at 10^5 partitions) — the only single-partition window runs over THAT,
-    never over the corpus — and is broadcast back.  The ranged frame is
-    pinned with an eager localCheckpoint: range boundaries come from
-    sampling, and the prefix map must describe the SAME partitioning the
-    final join evaluates against (a lazy plan could legally resample).
+    range-partition by the order key, per-partition running sum, then a
+    per-partition-total exclusive prefix joined back by partition id.  The
+    running sum is an order-preserving Arrow ``mapInPandas`` over the
+    already-range-sorted partitions rather than a
+    ``Window.partitionBy(_pid)``: the window's hash-distribution
+    requirement would force a SECOND corpus-sized exchange right after the
+    range one (RangePartitioning can never satisfy it), while the Arrow
+    pass is narrow — the range repartition stays the ONLY corpus-sized
+    shuffle in the plan (pinned by tests/test_plan_shape.py).  The prefix
+    frame is n_partitions rows (KBs even at 10^5 partitions) — the only
+    single-partition window runs over THAT, never over the corpus — and is
+    broadcast back.  The cumsum output is pinned with an eager
+    localCheckpoint: range boundaries come from sampling, and the prefix
+    map must describe the SAME partitioning the final join evaluates
+    against (a lazy plan could legally resample); it also makes the one
+    Python crossing run once, not once per consumer.
 """
 
 from __future__ import annotations
@@ -54,42 +62,73 @@ def global_shuffle(df: DataFrame, id_col: str = "doc_id", seed: int = 0,
               .orderBy(key_out, id_col))
 
 
-def pack_blocks(docs: DataFrame, id_col: str = "doc_id",
+def pack_blocks(docs: DataFrame, id_col: str | list[str] = "doc_id",
                 text_col: str = "text", block_tokens: int = 1024,
                 count_fn=ws_token_count, order_col: str | None = None,
-                num_partitions: int | None = None) -> DataFrame:
+                num_partitions: int | None = None,
+                checkpoint: bool = True) -> DataFrame:
     """Assign every document its token span in the concatenate-and-chop
     packing: docs are laid end-to-end in ``order_col`` order (default: the
     id itself; pass a ``global_shuffle`` key column for shuffled epochs) and
     cut into ``block_tokens``-sized training blocks, documents crossing
     boundaries.
 
-    Returns one row per doc: (id, n_tokens, start_offset, first_block,
+    Returns one row per doc: (id..., n_tokens, start_offset, first_block,
     last_block, n_blocks) where start_offset is the doc's position in the
     global token stream and first/last_block the block ids it touches
-    (n_blocks = 0 for empty docs, which occupy no span).  The mapping is a
-    pure function of the input — partitioning-invariant (pinned by
-    tests/test_operators.py) — because prefix + local cumsum equals the
-    global cumsum for ANY contiguous range split.
+    (n_blocks = 0 for empty docs, which occupy no span).  ``id_col`` may be
+    a list when one column alone is not a row identity (e.g. a decisions
+    store keying on (url, warc_ts) — re-crawls of one url with different
+    content are distinct training docs).  The mapping is a pure function of
+    the input — partitioning-invariant (pinned by tests/test_operators.py)
+    — because prefix + local cumsum equals the global cumsum for ANY
+    contiguous range split: the running sum restarts at 0 in every
+    partition and the broadcast prefix adds back everything to its left.
     """
-    order = order_col or id_col
-    sel = [F.col(id_col), F.col(order).alias("_ord"),
+    from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                   StructType)
+
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
+    order = order_col or ids[0]
+    sel = [*[F.col(c) for c in ids], F.col(order).alias("_ord"),
            count_fn(F.col(text_col)).alias("n_tokens")]
     slim = docs.select(*sel)
     if num_partitions:
-        slim = slim.repartitionByRange(num_partitions, "_ord", id_col)
+        slim = slim.repartitionByRange(num_partitions, "_ord", *ids)
     else:
-        slim = slim.repartitionByRange("_ord", id_col)
-    # pin the sampled range boundaries: totals and the final join must see
-    # the same physical partitioning (see module docstring)
-    slim = slim.localCheckpoint(eager=True)
-    slim = slim.withColumn("_pid", F.spark_partition_id())
+        slim = slim.repartitionByRange("_ord", *ids)
+    slim = slim.sortWithinPartitions("_ord", *ids)
 
-    local = Window.partitionBy("_pid").orderBy("_ord", id_col) \
-                  .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    with_local = slim.withColumn("_local_cum", F.sum("n_tokens").over(local))
+    # fresh StructType — StructType.add MUTATES, and slim.schema is the
+    # DataFrame's cached schema object
+    out_schema = StructType(list(slim.schema.fields)
+                            + [StructField("_pid", IntegerType()),
+                               StructField("_local_cum", LongType())])
 
-    totals = slim.groupBy("_pid").agg(F.sum("n_tokens").alias("_tot"))
+    def _running_sum(batches):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        run = 0
+        for pdf in batches:
+            c = pdf["n_tokens"].cumsum() + run
+            if len(c):
+                run = int(c.iloc[-1])
+            yield pdf.assign(_pid=pid, _local_cum=c.astype("int64"))
+
+    with_local = slim.mapInPandas(_running_sum, out_schema)
+    # pin the sampled range boundaries AND run the Arrow pass once: the
+    # totals build and the final probe must see the same pid assignment
+    # (see module docstring); lazy like the dedup signature frames, so no
+    # job runs at plan-build time.  checkpoint=False is an inspection seam
+    # ONLY (tests/test_plan_shape.py reads the full lineage through it) —
+    # executing with it off could legally resample range boundaries
+    # between the two consumers.
+    if checkpoint:
+        with_local = with_local.localCheckpoint(eager=False)
+
+    # per-partition totals = the last running sum of each partition; the
+    # partial agg is map-side, so the exchange carries n_partitions rows
+    totals = with_local.groupBy("_pid").agg(F.max("_local_cum").alias("_tot"))
     # exclusive prefix over the tiny per-partition totals frame — the ONLY
     # unpartitioned window, n_partitions rows
     prefix_w = Window.orderBy("_pid") \
@@ -106,7 +145,7 @@ def pack_blocks(docs: DataFrame, id_col: str = "doc_id",
             .otherwise(first)
     return (with_local.join(F.broadcast(prefix), "_pid")
             .select(
-                F.col(id_col), F.col("n_tokens"),
+                *[F.col(c) for c in ids], F.col("n_tokens"),
                 start.cast("bigint").alias("start_offset"),
                 first.cast("bigint").alias("first_block"),
                 last.cast("bigint").alias("last_block"),

@@ -341,6 +341,40 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
         )
         contam_col = "_contam"
 
+    contam_fuzzy_col = None
+    if benchmark is not None and profile.decontam_fuzzy:
+        # Second decontamination tier: paraphrased eval leakage (a one-token
+        # edit destroys every covering exact 13-gram but barely moves the
+        # shingle Jaccard) flags on MinHash signature agreement instead.
+        # Same join-back discipline as the exact tier above; the flagged set
+        # is again tiny, so the left join AQE-broadcasts.
+        from ..operators.decontam import fuzzy_decontaminate
+        from ..operators.dedup import shingle_hash_fast
+
+        row_key = _row_key(id_col, order_col)
+        fuzzy_ids = fuzzy_decontaminate(
+            df.select(row_key.alias("_dcf_id"), "extracted_text")
+            .filter(F.col("extracted_text").isNotNull())
+            .dropDuplicates(["_dcf_id"]),
+            benchmark.select(
+                F.col(benchmark_text_col).alias("extracted_text")
+            ).withColumn("_dcf_id", F.monotonically_increasing_id()),
+            id_col="_dcf_id", text_col="extracted_text",
+            bands=profile.decontam_fuzzy_bands,
+            rows_per_band=profile.decontam_fuzzy_rows,
+            min_est_jaccard=profile.decontam_fuzzy_min_jaccard,
+            hash_fn=shingle_hash_fast,
+        ).select("_dcf_id").distinct()
+        df = (
+            df.withColumn("_dcf_id", row_key)
+            .join(fuzzy_ids.withColumn("_contam_fuzzy", F.lit(True)),
+                  on="_dcf_id", how="left")
+            .withColumn("_contam_fuzzy",
+                        F.coalesce(F.col("_contam_fuzzy"), F.lit(False)))
+            .drop("_dcf_id")
+        )
+        contam_fuzzy_col = "_contam_fuzzy"
+
     near_dup_col = None
     exact_dup_col = None
     if dedupe:
@@ -413,7 +447,8 @@ def build_pipeline(pages: DataFrame, spark: SparkSession,
 
     df = with_decision(df, profile, near_dup_col=near_dup_col,
                        exact_dup_col=exact_dup_col,
-                       contaminated_col=contam_col)
+                       contaminated_col=contam_col,
+                       contaminated_fuzzy_col=contam_fuzzy_col)
     # scrubbed text is the stored artifact only for kept docs (S10 analogue)
     out_cols = [c for c in OUTPUT_COLUMNS if c in df.columns]
     return df.select(*out_cols).withColumn(

@@ -641,3 +641,42 @@ def test_gopher_repetition_ladder_in_pipeline(spark):
         pages, spark, dedupe=False, has_html=False).collect()}
     assert not any(r.startswith("dup_") for row in off.values()
                    for r in row["rules"])
+
+
+def test_fuzzy_decontamination_tier_in_pipeline(spark):
+    """With decontam_fuzzy on, a lightly-EDITED copy of an eval doc fires
+    `contaminated_fuzzy` (while the exact tier at default k=13 misses it —
+    one changed token destroys every covering 13-gram of a short doc); the
+    verbatim copy fires BOTH tiers; untouched docs keep their
+    benchmark-free decision exactly."""
+    import datetime as dt
+    from dataclasses import replace
+
+    from cfht2caom2_spark.config import DEFAULT_PROFILE
+
+    bench_text = " ".join(f"token{i}" for i in range(14))
+    edited = bench_text.replace("token7", "tokenX")
+    t0 = dt.datetime(2025, 6, 1)
+    pages = spark.createDataFrame(
+        [("u1", t0, None, bench_text, "en"),
+         ("u2", t0, None, edited, "en"),
+         ("u3", t0, None, "entirely unrelated words about other topics "
+                          "padded to clear the shingle minimum", "en")],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    profile = replace(DEFAULT_PROFILE, decontam_fuzzy=True)
+
+    base = {r["url"]: r for r in build_pipeline(
+        pages, spark, dedupe=False, has_html=False,
+        profile=DEFAULT_PROFILE).collect()}
+    rows = {r["url"]: r for r in build_pipeline(
+        pages, spark, dedupe=False, has_html=False, profile=profile,
+        benchmark=bench).collect()}
+    assert "contaminated" in rows["u1"]["rules"]
+    assert "contaminated_fuzzy" in rows["u1"]["rules"]
+    assert "contaminated" not in rows["u2"]["rules"]
+    assert "contaminated_fuzzy" in rows["u2"]["rules"]
+    for extra in ("contaminated", "contaminated_fuzzy"):
+        assert extra not in rows["u3"]["rules"]
+    assert list(rows["u3"]["rules"]) == list(base["u3"]["rules"])

@@ -211,3 +211,47 @@ def test_repeated_spans_plan_no_mandatory_broadcast(spark):
     assert "ResolvedHint" not in str(df._jdf.queryExecution().logical())
     plan = plan_of(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_pack_blocks_single_partition_window_only_over_totals(spark):
+    """pack_blocks' global cumsum must never collapse the corpus into one
+    partition: the only Exchange SinglePartition allowed in the plan is the
+    one feeding the n_partitions-row per-partition-totals prefix window.
+    The corpus side rides a range repartition + per-partition window."""
+    from cfht2caom2_spark.operators.packing import pack_blocks
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # checkpoint=False: inspection seam that keeps the full lineage visible
+    # (the production checkpoint truncates the plan at Scan ExistingRDD)
+    plan = plan_of(pack_blocks(docs, "doc_id", "text", block_tokens=128,
+                               checkpoint=False))
+    # the corpus path: range exchange(s), then narrow sort + the Arrow
+    # running-sum crossing (a Window.partitionBy(_pid) here would force an
+    # EXTRA corpus-sized hash exchange — the regression this pins: the only
+    # hash exchange allowed is the tiny map-side-combined totals aggregate)
+    assert "rangepartitioning" in plan.lower()
+    assert plan.count("Exchange hashpartitioning") == 1
+    totals_region = plan[plan.index("Exchange hashpartitioning"):]
+    assert "HashAggregate" in totals_region.splitlines()[1]
+    # exactly one single-partition exchange — the n_partitions-row totals
+    # prefix window, never the corpus
+    assert plan.count("Exchange SinglePartition") == 1
+    # the prefix frame joins back broadcast — never a corpus shuffle join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_decontam_no_mandatory_broadcast_default(spark):
+    """fuzzy_decontaminate leaves join strategy to AQE by default: the
+    corpus-side band table is unbounded, and the eval side is only
+    broadcast when the caller asserts boundedness via hint_broadcast."""
+    from cfht2caom2_spark.operators.decontam import fuzzy_decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text")
+    bench = docs.filter("doc_id % 101 = 0")
+    out = fuzzy_decontaminate(docs, bench)
+    assert "ResolvedHint" not in \
+        out._jdf.queryExecution().analyzed().toString()
+    hinted = fuzzy_decontaminate(docs, bench, hint_broadcast=True)
+    assert "ResolvedHint" in \
+        hinted._jdf.queryExecution().analyzed().toString()

