@@ -203,3 +203,54 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame,
         .select(F.col("_id").alias(id_col), "n_bench_matches",
                 "max_est_jaccard")
     )
+
+
+def decontam_report(docs: DataFrame, bench: DataFrame,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    k: int = 3, min_overlap: int = 5,
+                    hash_fn=None, prefilter_bits: int = 1 << 22) -> DataFrame:
+    """Per-EVAL-doc contamination audit: for each benchmark doc, how many
+    training docs share >= min_overlap distinct k-grams with IT, and the
+    deepest such overlap.  The doc-level pass (``decontaminate``) answers
+    "is this training doc tainted?"; this answers the auditor's converse —
+    "which eval tasks leak, and how badly?" — the report you attach to an
+    eval-integrity review.  Reference analogue: the per-artifact rejection
+    report (reference cfht_name.py:560-575 reject cache + run summaries).
+
+    Scale shape: same as ``decontaminate`` — the corpus gram stream is
+    bitmap-pruned map-side before its one exchange; the only new cost is
+    that surviving grams carry the bench id through the pair groupBy
+    (bench-suite sized keys, bounded).
+    """
+    doc_g = docs.select(
+        F.col(id_col),
+        F.explode(gram_set(F.col(text_col), k, hash_fn)).alias("_g"))
+    bench_gd = bench.select(
+        F.col(id_col).alias("_bid"),
+        F.explode(gram_set(F.col(text_col), k, hash_fn)).alias("_g"))
+    if prefilter_bits:
+        bitmap = bench_gram_bitmap(
+            bench_gd.select(F.col("_g").alias("bench_gram")).distinct(),
+            prefilter_bits)
+        doc_g = (
+            doc_g
+            .withColumn("_bkt", F.pmod(F.col("_g"), F.lit(prefilter_bits)))
+            .withColumn("word_idx", F.floor(F.col("_bkt") / 64))
+            .join(F.broadcast(bitmap), "word_idx", "inner")
+            .filter(F.expr(
+                "(word & shiftleft(1L, CAST(_bkt % 64 AS INT))) != 0"))
+            .drop("_bkt", "word_idx", "word")
+        )
+    pair = (
+        doc_g.join(bench_gd, "_g")
+        .groupBy(id_col, "_bid")
+        .agg(F.count(F.lit(1)).alias("_n_overlap"))
+        .filter(F.col("_n_overlap") >= min_overlap)
+    )
+    return (
+        pair.groupBy("_bid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated_docs"),
+             F.max("_n_overlap").cast("bigint").alias("max_overlap"))
+        .select(F.col("_bid").alias(id_col), "n_contaminated_docs",
+                "max_overlap")
+    )

@@ -670,3 +670,27 @@ def minhash_losers_from_sig(df: DataFrame, id_col: str, order_col: str,
         )
         .distinct()
     )
+
+
+def duplication_weights(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Soft dedup: instead of DROPPING repeated content, weight it down —
+    every doc gets its content-group multiplicity and the 1/n sampling
+    weight that makes each distinct content unit contribute equally to a
+    training epoch (the "count once, not n times" reweighting used when
+    hard dedup is too aggressive, e.g. templated-but-distinct pages).
+
+    One window over the content fingerprint — the same shuffle key as the
+    exact-dedup collapse; no joins.  Returns (id, dup_count, dup_weight).
+    """
+    from pyspark.sql import Window as _W
+
+    from ..functions.tokens import md5_fingerprint
+
+    w = _W.partitionBy(md5_fingerprint(F.col(text_col)))
+    n = F.count(F.lit(1)).over(w)
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("dup_count"),
+        (F.lit(1.0) / n).alias("dup_weight"),
+    )

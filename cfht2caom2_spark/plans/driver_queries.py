@@ -2926,3 +2926,71 @@ QUERIES["q_corpus_shuffle"] = q_corpus_shuffle
 ORACLES["q_corpus_shuffle"] = _CORPUS_SHUFFLE_SQL
 QUERIES["q_pack_blocks"] = q_pack_blocks
 ORACLES["q_pack_blocks"] = _PACK_BLOCKS_SQL
+
+
+# --------------------------------------------------------------------------
+# soft dedup (duplication weights) + decontamination audit report
+# --------------------------------------------------------------------------
+
+
+def q_dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: content-group multiplicity + the 1/n sampling weight per
+    doc (operators/dedup.py::duplication_weights) — reweight instead of
+    drop, so each distinct content unit counts once per epoch."""
+    from ..operators.dedup import duplication_weights
+
+    return duplication_weights(_t(spark, sf_dir, "documents"))
+
+
+Q_DUP_WEIGHTS_SQL = r"""
+SELECT doc_id,
+       count(*) OVER (PARTITION BY
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+       )::BIGINT AS dup_count,
+       1.0 / count(*) OVER (PARTITION BY
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+       ) AS dup_weight
+FROM documents
+"""
+
+
+def q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVAL-doc audit: for each benchmark doc, how many training docs
+    share >= 5 distinct 3-grams with it and the deepest overlap — the
+    converse of q_decontaminate (which flags the training side)."""
+    from ..operators.decontam import decontam_report
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECONTAM_BENCH_MOD == 0)
+    return decontam_report(docs, bench, id_col="doc_id", text_col="text",
+                           k=DECONTAM_K, min_overlap=DECONTAM_MIN_OVERLAP,
+                           hash_fn=shingle_hash)
+
+
+Q_DECONTAM_REPORT_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform({_shingles_sql(_TOKS, DECONTAM_K)},
+                                      s -> {_SHINGLE_HASH.format(s='s')}))
+         AS grams
+  FROM documents
+),
+e AS (SELECT doc_id, unnest(grams) AS gm FROM g),
+be AS (SELECT doc_id AS bid, unnest(grams) AS gm FROM g
+       WHERE doc_id % {DECONTAM_BENCH_MOD} = 0),
+pair AS (
+  SELECT e.doc_id, be.bid, count(*)::BIGINT AS n_overlap
+  FROM e JOIN be ON e.gm = be.gm
+  GROUP BY e.doc_id, be.bid
+  HAVING count(*) >= {DECONTAM_MIN_OVERLAP}
+)
+SELECT bid AS doc_id, count(*)::BIGINT AS n_contaminated_docs,
+       max(n_overlap)::BIGINT AS max_overlap
+FROM pair GROUP BY bid
+"""
+
+
+QUERIES["q_dup_weights"] = q_dup_weights
+ORACLES["q_dup_weights"] = Q_DUP_WEIGHTS_SQL
+QUERIES["q_decontam_report"] = q_decontam_report
+ORACLES["q_decontam_report"] = Q_DECONTAM_REPORT_SQL

@@ -915,3 +915,31 @@ def test_global_shuffle_deterministic_epochs(spark):
     assert o1 == o1b
     assert sorted(o1) == sorted(o2) == list(range(200))
     assert o1 != o2 and o1 != list(range(200))
+
+
+def test_duplication_weights_and_decontam_report(spark):
+    """Soft dedup: n copies of one content each weigh 1/n, distinct content
+    weighs 1.  Report: each eval doc counts the training docs overlapping
+    it (including itself when bench is a corpus slice), independent of
+    other eval docs."""
+    from cfht2caom2_spark.operators.decontam import decontam_report
+    from cfht2caom2_spark.operators.dedup import duplication_weights
+
+    long_a = " ".join(f"alpha{i}" for i in range(12))
+    long_b = " ".join(f"beta{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, long_a), (2, long_a), (3, "  " + long_a + " "),  # ws-normalized dup
+         (4, long_b), (5, "unrelated words " * 6)],
+        "doc_id bigint, text string")
+    w = {r["doc_id"]: r for r in duplication_weights(docs).collect()}
+    assert [w[i]["dup_count"] for i in (1, 2, 3, 4, 5)] == [3, 3, 3, 1, 1]
+    assert w[1]["dup_weight"] == 1.0 / 3 and w[4]["dup_weight"] == 1.0
+
+    bench = docs.filter("doc_id in (2, 4)")
+    rep = {r["doc_id"]: r for r in
+           decontam_report(docs, bench, min_overlap=5).collect()}
+    # bench doc 2 (content A): overlapped by train docs 1,2,3
+    assert rep[2]["n_contaminated_docs"] == 3
+    assert rep[2]["max_overlap"] == 10      # all 10 distinct 3-grams of A
+    # bench doc 4 (content B): only itself
+    assert rep[4]["n_contaminated_docs"] == 1 and rep[4]["max_overlap"] == 10
