@@ -54,7 +54,7 @@ BENCH_QUERIES = [
     "q_url_canonical", "q_dsir_weights", "q_dsir_sample", "q_char_stats",
     "q_bpe_tokens", "q_line_format_stats", "q_repetition_ladder",
     "q_fuzzy_decontaminate", "q_corpus_shuffle", "q_pack_blocks",
-    "q_dup_weights", "q_decontam_report",
+    "q_dup_weights", "q_decontam_report", "q_block_texts",
     "q_pipeline_flagship",
 ]
 

@@ -152,3 +152,66 @@ def pack_blocks(docs: DataFrame, id_col: str | list[str] = "doc_id",
                 F.when(F.col("n_tokens") > 0, last - first + 1)
                  .otherwise(F.lit(0)).cast("bigint").alias("n_blocks"),
             ))
+
+
+def materialize_blocks(docs: DataFrame, packed: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       block_tokens: int = 1024,
+                       order_col: str | None = None) -> DataFrame:
+    """Assemble the actual fixed-length training sequences from a
+    ``pack_blocks`` map: one row per block, its text being the
+    whitespace-joined token slices of every doc crossing it, in stream
+    order.  The final block may be short (no padding — the trainer pads).
+
+    Scale shape: the corpus text shuffles exactly ONCE, keyed by block id —
+    that shuffle IS the output materialization, there is no cheaper way to
+    co-locate a block's pieces.  Each doc explodes into only the blocks it
+    touches (n_blocks rows, total ≈ corpus_tokens / block_tokens extra
+    rows), each carrying just its slice of the token array, not the whole
+    doc.  Within a block, pieces reassemble by sorted (start_offset) —
+    deterministic, no window.
+
+    ``docs`` must tokenize consistently with the ``count_fn`` used by
+    ``pack_blocks`` (whitespace splitting here matches the default
+    ws_token_count; a BPE count_fn needs a BPE materializer).
+    """
+    ids = [id_col] if isinstance(id_col, str) else list(id_col)
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda t: t != F.lit(""))
+    lit_b = F.lit(int(block_tokens))
+    src = docs.select(*[F.col(c) for c in ids], toks.alias("_toks")) \
+              .join(packed.filter(F.col("n_tokens") > 0), ids)
+    pieces = src.select(
+        "start_offset",
+        F.explode(F.sequence(F.col("first_block"),
+                             F.col("last_block"))).alias("block_id"),
+        "_toks", "n_tokens",
+    ).select(
+        "block_id",
+        # local [from, to) of this doc's tokens covered by this block
+        F.greatest(F.lit(0), F.col("block_id") * lit_b
+                   - F.col("start_offset")).alias("_from"),
+        F.least(F.col("n_tokens"), (F.col("block_id") + 1) * lit_b
+                - F.col("start_offset")).alias("_to"),
+        "start_offset", "_toks",
+    ).select(
+        "block_id",
+        # piece start in the GLOBAL stream orders pieces within the block
+        (F.col("start_offset") + F.col("_from")).alias("_pos"),
+        F.slice("_toks", F.col("_from").cast("int") + 1,
+                (F.col("_to") - F.col("_from")).cast("int")).alias("_piece"),
+    )
+    return (
+        pieces.groupBy("block_id")
+        .agg(F.array_sort(F.collect_list(F.struct("_pos", "_piece")))
+             .alias("_parts"))
+        .select(
+            "block_id",
+            F.array_join(F.flatten(F.transform(
+                F.col("_parts"), lambda p: p["_piece"])), " ")
+            .alias("block_text"),
+            F.aggregate(F.col("_parts"), F.lit(0).cast("bigint"),
+                        lambda acc, p: acc + F.size(p["_piece"]))
+            .alias("n_tokens"),
+        )
+    )

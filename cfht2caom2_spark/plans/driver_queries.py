@@ -2994,3 +2994,50 @@ QUERIES["q_dup_weights"] = q_dup_weights
 ORACLES["q_dup_weights"] = Q_DUP_WEIGHTS_SQL
 QUERIES["q_decontam_report"] = q_decontam_report
 ORACLES["q_decontam_report"] = Q_DECONTAM_REPORT_SQL
+
+
+def q_block_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized training sequences for the q_pack_blocks map: one
+    row per fixed-length block, text assembled from every doc slice
+    crossing it in stream order (packing.materialize_blocks)."""
+    from ..operators.packing import materialize_blocks, pack_blocks
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_blocks(docs, "doc_id", "text",
+                         block_tokens=PACK_BLOCK_TOKENS)
+    return materialize_blocks(docs, packed, "doc_id", "text",
+                              block_tokens=PACK_BLOCK_TOKENS)
+
+
+_BLOCK_TEXTS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, toks, len(toks)::BIGINT AS n,
+         coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS strt
+  FROM t
+),
+p AS (
+  SELECT b.block_id,
+         strt + greatest(0, b.block_id * {PACK_BLOCK_TOKENS} - strt) AS pos,
+         toks[(greatest(0, b.block_id * {PACK_BLOCK_TOKENS} - strt) + 1):
+              (least(n, (b.block_id + 1) * {PACK_BLOCK_TOKENS} - strt))]
+           AS piece
+  FROM c, UNNEST(generate_series(strt // {PACK_BLOCK_TOKENS},
+                                 (strt + n - 1) // {PACK_BLOCK_TOKENS}))
+       AS b(block_id)
+  WHERE n > 0
+)
+SELECT block_id,
+       array_to_string(flatten(list(piece ORDER BY pos)), ' ')
+         AS block_text,
+       sum(len(piece))::BIGINT AS n_tokens
+FROM p GROUP BY block_id
+"""
+
+
+QUERIES["q_block_texts"] = q_block_texts
+ORACLES["q_block_texts"] = _BLOCK_TEXTS_SQL

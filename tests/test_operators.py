@@ -943,3 +943,25 @@ def test_duplication_weights_and_decontam_report(spark):
     assert rep[2]["max_overlap"] == 10      # all 10 distinct 3-grams of A
     # bench doc 4 (content B): only itself
     assert rep[4]["n_contaminated_docs"] == 1 and rep[4]["max_overlap"] == 10
+
+
+def test_materialize_blocks_round_trips_the_token_stream(spark):
+    """Concatenating the materialized blocks in block_id order reproduces
+    the exact global token stream: docs cross block boundaries, every
+    block but the last is exactly full, and empty docs vanish."""
+    from cfht2caom2_spark.operators.packing import (materialize_blocks,
+                                                    pack_blocks)
+
+    rows = [(i, " ".join(f"d{i}w{j}" for j in range(5 + (i * 3) % 7)))
+            for i in range(20)] + [(20, ""), (21, "   ")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    packed = pack_blocks(docs, block_tokens=8)
+    blocks = {r["block_id"]: r for r in
+              materialize_blocks(docs, packed, block_tokens=8).collect()}
+    stream = [w for i in range(22) for w in rows[i][1].split()]
+    n_blocks = (len(stream) + 7) // 8
+    assert sorted(blocks) == list(range(n_blocks))
+    for b in range(n_blocks):
+        expect = stream[b * 8:(b + 1) * 8]
+        assert blocks[b]["block_text"].split() == expect
+        assert blocks[b]["n_tokens"] == len(expect)
