@@ -163,13 +163,16 @@ def materialize_blocks(docs: DataFrame, packed: DataFrame,
     whitespace-joined token slices of every doc crossing it, in stream
     order.  The final block may be short (no padding — the trainer pads).
 
-    Scale shape: the corpus text shuffles exactly ONCE, keyed by block id —
-    that shuffle IS the output materialization, there is no cheaper way to
-    co-locate a block's pieces.  Each doc explodes into only the blocks it
-    touches (n_blocks rows, total ≈ corpus_tokens / block_tokens extra
-    rows), each carrying just its slice of the token array, not the whole
-    doc.  Within a block, pieces reassemble by sorted (start_offset) —
-    deterministic, no window.
+    Scale shape: the corpus text moves TWICE, which is the floor for this
+    output — once in the id-join that brings each doc's text to its
+    offsets (AQE shuffle join; carrying the token array through
+    pack_blocks' range shuffle instead would move the same bytes there),
+    and once keyed by block id, which IS the output materialization: there
+    is no cheaper way to co-locate a block's pieces.  Each doc explodes
+    into only the blocks it touches (n_blocks rows, total ≈ corpus_tokens
+    / block_tokens extra rows), each carrying just its slice of the token
+    array, not the whole doc.  Within a block, pieces reassemble by sorted
+    (start_offset) — deterministic, no window.
 
     ``docs`` must tokenize consistently with the ``count_fn`` used by
     ``pack_blocks`` (whitespace splitting here matches the default
