@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "q_bpe_tokens", "q_line_format_stats", "q_repetition_ladder",
     "q_fuzzy_decontaminate", "q_corpus_shuffle", "q_pack_blocks",
     "q_dup_weights", "q_decontam_report", "q_block_texts",
+    "q_kmeans_assign", "q_ivf_kmeans_topk", "q_split_assign",
     "q_pipeline_flagship",
 ]
 
@@ -130,10 +131,10 @@ def compact_stdout_record(result: dict) -> dict:
                if k not in ("last_measured_scaling",
                             "last_measured_exec_scaling")}
     if "queries" in compact:
-        # 2-decimal timings on stdout only — full precision stays in
-        # .bench_last.json; at 58 registry queries the 3rd decimal is the
-        # difference between fitting the driver's tail capture and not
-        compact["queries"] = {k: round(v, 2)
+        # 1-decimal timings on stdout only — full precision stays in
+        # .bench_last.json; at 66 registry queries even the 2nd decimal
+        # pushes a 4-digit worst case past the driver's tail capture
+        compact["queries"] = {k: round(v, 1)
                               for k, v in compact["queries"].items()}
     if len(compact_json(compact)) > _STDOUT_BUDGET:
         # last-ditch guard (must never fire for the checked-in registry —

@@ -59,6 +59,40 @@ def stratified_sample(df: DataFrame, key_col: str, stratum_col: str,
     return df.filter(bucket < threshold)
 
 
+def split_assign(df: DataFrame, key_col: str, splits: dict[str, float],
+                 seed: int = 0, bucket_fn=None,
+                 out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: every row gets exactly one
+    split label, a pure function of (key, seed) — disjoint and exhaustive
+    by construction, stable across runs/partitionings/cluster sizes, and
+    consistent across tables keyed by the same id (features split with
+    their documents, so a doc can never leak across the boundary through a
+    side table).
+
+    ``splits``: ordered {name: fraction}; fractions are converted to
+    integer bucket thresholds driver-side (same no-float-at-execution
+    discipline as stratified_sample).  Rows past the last threshold —
+    possible only when the fractions sum below 1 — fall into the LAST
+    split, so the assignment is total either way.  A new ``seed`` is a
+    fresh independent split with zero state (the epoch-permutation
+    argument, operators/packing.py).
+    """
+    if not splits:
+        raise ValueError("splits must name at least one split")
+    bucket = (bucket_fn or sample_bucket)(
+        F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(seed))))
+    names = list(splits)
+    # CASE chain lowest-threshold-first so the first matching range wins,
+    # mirroring the oracle's CASE WHEN ordering; remainder -> last split
+    cum, chain = 0, None
+    for name in names:
+        cum += int(round(splits[name] * BUCKETS))
+        cond = bucket < F.lit(cum)
+        chain = F.when(cond, name) if chain is None \
+            else chain.when(cond, name)
+    return df.withColumn(out_col, chain.otherwise(F.lit(names[-1])))
+
+
 def assemble_mixture(spark, decisions_path: str, out_path: str,
                      rates: dict[str, float], default_rate: float = 0.0,
                      key_col: str = "url",

@@ -3041,3 +3041,142 @@ FROM p GROUP BY block_id
 
 QUERIES["q_block_texts"] = q_block_texts
 ORACLES["q_block_texts"] = _BLOCK_TEXTS_SQL
+
+
+# --------------------------------------------------------------------------
+# trained-centroid IVF (k-means cells) + deterministic corpus splits
+# --------------------------------------------------------------------------
+
+KM_K, KM_SEED, KM_NPROBE = 8, 3, 2
+# init-centroid key: the packing epoch permutation applied to seeding
+_KM_KEY = _HASH60.format(s=f"vec_id::VARCHAR || ':' || '{KM_SEED}'")
+# oracle squared-L2: same index-ordered (x-y)^2 fold as kmeans.sq_dist
+_KM_DIST = ("list_sum(list_transform(list_zip({a}, {b}),"
+            " p -> (p[1] - p[2]) * (p[1] - p[2])))")
+_KM_INIT_SQL = f"""
+init AS (
+  SELECT row_number() OVER (ORDER BY k, vec_id) - 1 AS cell, cv
+  FROM (SELECT vec_id, {_KM_KEY} AS k, embedding::DOUBLE[] AS cv
+        FROM embeddings ORDER BY k, vec_id LIMIT {KM_K})
+)"""
+
+
+def _km_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    from ..operators.kmeans import init_centroids
+
+    return init_centroids(_t(spark, sf_dir, "embeddings"), KM_K,
+                          seed=KM_SEED)
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vector labeled with its nearest centroid cell (the IVF index
+    build / cluster-balanced-sampling key, operators/kmeans.py).  Centroids
+    here are the deterministic oracle-portable INIT picks so DuckDB can
+    derive the identical set; the Lloyd's-trained path is pinned by pytest
+    (iterative training is not one SQL query)."""
+    from ..operators.kmeans import assign_cells
+
+    return assign_cells(_t(spark, sf_dir, "embeddings"),
+                        _km_centroids(spark, sf_dir))
+
+
+Q_KMEANS_ASSIGN_SQL = f"""
+WITH {_KM_INIT_SQL},
+dist AS (
+  SELECT e.vec_id, i.cell,
+         {_KM_DIST.format(a="e.embedding::DOUBLE[]", b="i.cv")} AS d
+  FROM embeddings e CROSS JOIN init i
+)
+SELECT vec_id, cell FROM (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+  FROM dist
+) WHERE rn = 1
+"""
+
+
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over trained-centroid cells: corpus in its nearest cell,
+    each query probes its KM_NPROBE nearest cells, cosine top-k within
+    the probed cells (operators/kmeans.py::ivf_centroid_topk).  The
+    density-tracking sibling of q_ivf_topk's sign-bucket cells."""
+    from ..operators.kmeans import ivf_centroid_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < TOPK_NQUERIES)
+    return ivf_centroid_topk(
+        emb, queries, _km_centroids(spark, sf_dir),
+        k=TOPK_K, n_probe=KM_NPROBE,
+    ).select("query_id", "vec_id", "rank")
+
+
+Q_IVF_KMEANS_TOPK_SQL = f"""
+WITH {_KM_INIT_SQL},
+cdist AS (
+  SELECT e.vec_id, e.embedding, i.cell,
+         {_KM_DIST.format(a="e.embedding::DOUBLE[]", b="i.cv")} AS d
+  FROM embeddings e CROSS JOIN init i
+),
+c AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT vec_id, embedding, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM cdist
+  ) WHERE rn = 1
+),
+qc AS (
+  SELECT vec_id AS query_id, embedding AS qv, cell FROM (
+    SELECT vec_id, embedding, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM cdist WHERE vec_id < {TOPK_NQUERIES}
+  ) WHERE rn <= {KM_NPROBE}
+),
+scored AS (
+  SELECT qc.query_id, c.vec_id,
+    list_dot_product(qc.qv::DOUBLE[], c.embedding::DOUBLE[])
+      / greatest(sqrt(list_dot_product(qc.qv::DOUBLE[], qc.qv::DOUBLE[]))
+               * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                       c.embedding::DOUBLE[])), 1e-12) AS cos
+  FROM c JOIN qc ON c.cell = qc.cell
+  WHERE c.vec_id <> qc.query_id
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {TOPK_K}
+"""
+
+
+SPLIT_SEED = 11
+SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment per doc — disjoint,
+    exhaustive, a pure function of (doc_id, seed)
+    (operators/sampling.py::split_assign)."""
+    from ..operators.sampling import split_assign
+
+    return split_assign(_t(spark, sf_dir, "documents").select("doc_id"),
+                        "doc_id", SPLIT_FRACS, seed=SPLIT_SEED)
+
+
+_SPLIT_BUCKET = (_HASH60.format(s=f"doc_id::VARCHAR || ':' || '{SPLIT_SEED}'")
+                 + " % 1000000")
+Q_SPLIT_ASSIGN_SQL = f"""
+SELECT doc_id,
+       CASE WHEN b < 800000 THEN 'train'
+            WHEN b < 900000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, {_SPLIT_BUCKET} AS b FROM documents)
+"""
+
+
+QUERIES["q_kmeans_assign"] = q_kmeans_assign
+ORACLES["q_kmeans_assign"] = Q_KMEANS_ASSIGN_SQL
+QUERIES["q_ivf_kmeans_topk"] = q_ivf_kmeans_topk
+ORACLES["q_ivf_kmeans_topk"] = Q_IVF_KMEANS_TOPK_SQL
+QUERIES["q_split_assign"] = q_split_assign
+ORACLES["q_split_assign"] = Q_SPLIT_ASSIGN_SQL

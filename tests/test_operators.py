@@ -965,3 +965,154 @@ def test_materialize_blocks_round_trips_the_token_stream(spark):
         expect = stream[b * 8:(b + 1) * 8]
         assert blocks[b]["block_text"].split() == expect
         assert blocks[b]["n_tokens"] == len(expect)
+
+
+# --------------------------------------------------------------------------
+# k-means centroids + trained-cell IVF (operators/kmeans.py)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def blob_vecs(spark):
+    """60 vectors in 3 well-separated 4-d blobs; label = blob id."""
+    rng = np.random.RandomState(7)
+    centers = np.array([[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]])
+    rows = []
+    for i in range(60):
+        b = i % 3
+        v = centers[b] + rng.normal(0, 0.3, 4)
+        rows.append((i, [float(x) for x in v], b))
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+
+
+def test_kmeans_recovers_planted_blobs(blob_vecs):
+    from cfht2caom2_spark.operators.kmeans import (assign_cells,
+                                                   init_centroids,
+                                                   kmeans_cost,
+                                                   train_centroids)
+
+    cents = train_centroids(blob_vecs, k=3, n_iter=5, seed=1)
+    assert kmeans_cost(blob_vecs, cents) < kmeans_cost(
+        blob_vecs, init_centroids(blob_vecs, 3, seed=1))
+    got = assign_cells(blob_vecs, cents).join(
+        blob_vecs.select("vec_id", "label"), "vec_id").collect()
+    # every blob maps to exactly one cell and vice versa (perfect recovery
+    # on separated blobs), regardless of which cell id each blob drew
+    blob_to_cell = {}
+    for r in got:
+        blob_to_cell.setdefault(r["label"], set()).add(r["cell"])
+    cells = [c for s in blob_to_cell.values() for c in s]
+    assert all(len(s) == 1 for s in blob_to_cell.values())
+    assert len(set(cells)) == 3
+
+
+def test_kmeans_deterministic(blob_vecs):
+    from cfht2caom2_spark.operators.kmeans import train_centroids
+
+    a = train_centroids(blob_vecs, k=3, n_iter=3, seed=1)
+    b = train_centroids(blob_vecs, k=3, n_iter=3, seed=1)
+    assert a == b
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    from cfht2caom2_spark.operators.kmeans import (init_centroids,
+                                                   train_centroids)
+
+    # two IDENTICAL vectors + k=3 means two init centroids coincide; ties
+    # break to the lowest cell, so the higher twin owns NOTHING from the
+    # first assignment on — Lloyd's repair must keep its position instead
+    # of shrinking k or crashing on a missing group
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [50.0, 50.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    init = init_centroids(df, 3, seed=0)          # k == n: all 3 picked
+    trained = train_centroids(df, k=3, n_iter=2, seed=0)
+    assert len(trained) == 3                      # k never shrinks
+    # exactly one of the coincident twins starves and stays at init
+    twins = [i for i, c in enumerate(init) if init.count(c) == 2]
+    assert len(twins) == 2
+    assert trained[twins[1]] == init[twins[1]]
+    # and both data clusters are represented
+    import math
+    for target in ([0.0, 0.0], [50.0, 50.0]):
+        assert any(math.dist(c, target) < 1.0 for c in trained)
+
+
+def test_ivf_centroid_probe_all_cells_matches_exact(blob_vecs):
+    """With n_probe = n_cells the trained-cell IVF degrades to brute force:
+    its (query, vec, rank) set must equal cosine_topk's exactly — pins the
+    probe plumbing (cell assignment, candidate join, ranking) with zero
+    recall excuse."""
+    from cfht2caom2_spark.operators.kmeans import (ivf_centroid_topk,
+                                                   train_centroids)
+
+    cents = train_centroids(blob_vecs, k=3, n_iter=3, seed=1)
+    queries = blob_vecs.filter(F.col("vec_id") < 4)
+    exact = cosine_topk(blob_vecs, queries, k=5).select(
+        "query_id", "vec_id", "rank").collect()
+    ivf = ivf_centroid_topk(blob_vecs, queries, cents, k=5,
+                            n_probe=3).select(
+        "query_id", "vec_id", "rank").collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, exact))
+
+
+def test_ivf_centroid_single_probe_stays_in_home_blob(blob_vecs):
+    """n_probe=1 on converged blob centroids: every neighbor returned for a
+    query comes from the query's own blob (cells track density)."""
+    from cfht2caom2_spark.operators.kmeans import (ivf_centroid_topk,
+                                                   train_centroids)
+
+    cents = train_centroids(blob_vecs, k=3, n_iter=5, seed=1)
+    queries = blob_vecs.filter(F.col("vec_id") < 3)
+    got = ivf_centroid_topk(blob_vecs, queries, cents, k=5, n_probe=1)
+    joined = got.join(
+        blob_vecs.select(F.col("vec_id"), F.col("label").alias("nl")),
+        "vec_id").collect()
+    for r in joined:
+        assert r["nl"] == r["query_id"] % 3
+
+
+# --------------------------------------------------------------------------
+# deterministic corpus splits (operators/sampling.py::split_assign)
+# --------------------------------------------------------------------------
+
+
+def test_split_assign_total_disjoint_and_sized(spark):
+    from cfht2caom2_spark.operators.sampling import split_assign
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    out = split_assign(df, "doc_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1}, seed=4)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 5000          # exhaustive
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.02
+    assert abs(counts["test"] / 5000 - 0.1) < 0.02
+
+
+def test_split_assign_deterministic_and_seed_sensitive(spark):
+    from cfht2caom2_spark.operators.sampling import split_assign
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.5, "test": 0.5}
+    a = {r["doc_id"]: r["split"]
+         for r in split_assign(df, "doc_id", fr, seed=1).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in split_assign(df, "doc_id", fr, seed=1).collect()}
+    c = {r["doc_id"]: r["split"]
+         for r in split_assign(df, "doc_id", fr, seed=2).collect()}
+    assert a == b
+    assert a != c
+
+
+def test_split_assign_remainder_falls_into_last_split(spark):
+    from cfht2caom2_spark.operators.sampling import split_assign
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    out = split_assign(df, "doc_id", {"a": 0.1, "b": 0.1}, seed=0)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 200           # nothing unassigned
+    assert counts.get("b", 0) > counts.get("a", 0)  # b soaks the remainder
