@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "q_fuzzy_decontaminate", "q_corpus_shuffle", "q_pack_blocks",
     "q_dup_weights", "q_decontam_report", "q_block_texts",
     "q_kmeans_assign", "q_ivf_kmeans_topk", "q_split_assign",
+    "q_cluster_sample",
     "q_pipeline_flagship",
 ]
 
@@ -123,7 +124,10 @@ def run_suite() -> None:
 # BENCH record because the scaling-evidence blobs pushed the line past that.
 # The printed line carries totals + per-query timings ONLY; evidence blobs
 # live in .bench_last.json (authoritative) and .scaling*_evidence.json.
-_STDOUT_BUDGET = 1900
+# Budget envelope: the line is printed LAST, so the ~2,000-char tail holds
+# it entirely as long as line + trailing newline <= capture; 1950 leaves
+# ~50 chars of slack for stray runtime output after the print.
+_STDOUT_BUDGET = 1950
 
 
 def compact_stdout_record(result: dict) -> dict:

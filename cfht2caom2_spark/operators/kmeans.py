@@ -174,3 +174,42 @@ def ivf_centroid_topk(corpus: DataFrame, queries: DataFrame,
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "cos")
     )
+
+
+def cluster_balanced_sample(df: DataFrame, centroids: list[list[float]],
+                            cap_per_cell: int, id_col: str = "vec_id",
+                            vec_col: str = "embedding", seed: int = 0,
+                            bucket_fn=None) -> DataFrame:
+    """Diversity-preserving downsample: each k-means cell is thinned toward
+    ``cap_per_cell`` expected rows, so over-represented clusters (boilerplate
+    regions, template farms) stop dominating the mixture while sparse
+    clusters survive intact — the cluster-balancing step SemDeDup/DCLM run
+    after cell assignment.
+
+    Keep rule: ``bucket(id:seed) * n_cell < cap * BUCKETS`` — all-BIGINT
+    cross-engine-exact arithmetic (no float threshold at execution time; the
+    product stays under 2^63 up to 10^12 rows per cell at BUCKETS=10^6).
+    Consequences, both deterministic:
+      * cells at or under the cap pass ENTIRELY (bucket < BUCKETS always);
+      * larger cells keep a Binomial(n_cell, cap/n_cell) subset — expected
+        cap rows — chosen by the id hash, so reruns/partitionings agree.
+
+    Scale shape: assignment is narrow; the only wide op is the k-row cell
+    count (map-side combined), which joins back broadcast; the keep filter
+    is map-side.  No per-cell sort/window, so a degenerate giant cell costs
+    a scan, not a single-task top-N."""
+    from .sampling import BUCKETS, sample_bucket
+
+    assigned = df.select(
+        F.col(id_col),
+        nearest_centroid(F.col(vec_col), centroids).alias("cell"))
+    counts = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("_n"))
+    bucket = (bucket_fn or sample_bucket)(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
+    return (
+        assigned.join(F.broadcast(counts), "cell")
+        .filter(bucket * F.col("_n")
+                < F.lit(int(cap_per_cell) * BUCKETS).cast("bigint"))
+        .select(id_col, "cell")
+    )

@@ -3180,3 +3180,45 @@ QUERIES["q_ivf_kmeans_topk"] = q_ivf_kmeans_topk
 ORACLES["q_ivf_kmeans_topk"] = Q_IVF_KMEANS_TOPK_SQL
 QUERIES["q_split_assign"] = q_split_assign
 ORACLES["q_split_assign"] = Q_SPLIT_ASSIGN_SQL
+
+
+KM_CAP, KM_SAMPLE_SEED = 40, 5
+
+
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced downsample over the k-means cells: each cell thinned
+    toward KM_CAP expected rows by the all-BIGINT keep rule
+    bucket(id:seed) * n_cell < cap * 10^6 (kmeans.cluster_balanced_sample);
+    cells at/under the cap pass entirely."""
+    from ..operators.kmeans import cluster_balanced_sample
+
+    return cluster_balanced_sample(_t(spark, sf_dir, "embeddings"),
+                                   _km_centroids(spark, sf_dir),
+                                   cap_per_cell=KM_CAP, seed=KM_SAMPLE_SEED)
+
+
+_KM_SAMPLE_BUCKET = (_HASH60.format(
+    s=f"vec_id::VARCHAR || ':' || '{KM_SAMPLE_SEED}'") + " % 1000000")
+Q_CLUSTER_SAMPLE_SQL = f"""
+WITH {_KM_INIT_SQL},
+dist AS (
+  SELECT e.vec_id, i.cell,
+         {_KM_DIST.format(a="e.embedding::DOUBLE[]", b="i.cv")} AS d
+  FROM embeddings e CROSS JOIN init i
+),
+a AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+c AS (SELECT cell, count(*)::BIGINT AS n FROM a GROUP BY cell)
+SELECT a.vec_id, a.cell
+FROM a JOIN c ON a.cell = c.cell
+WHERE ({_KM_SAMPLE_BUCKET}) * c.n < {KM_CAP} * 1000000
+"""
+
+
+QUERIES["q_cluster_sample"] = q_cluster_sample
+ORACLES["q_cluster_sample"] = Q_CLUSTER_SAMPLE_SQL

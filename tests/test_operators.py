@@ -1116,3 +1116,31 @@ def test_split_assign_remainder_falls_into_last_split(spark):
               out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert sum(counts.values()) == 200           # nothing unassigned
     assert counts.get("b", 0) > counts.get("a", 0)  # b soaks the remainder
+
+
+def test_cluster_balanced_sample_caps_and_keeps_small_cells(blob_vecs):
+    from cfht2caom2_spark.operators.kmeans import (assign_cells,
+                                                   cluster_balanced_sample,
+                                                   train_centroids)
+
+    cents = train_centroids(blob_vecs, k=3, n_iter=5, seed=1)
+    # 20 vectors per blob; cap=25 >= cell size -> EVERYTHING passes exactly
+    full = cluster_balanced_sample(blob_vecs, cents, cap_per_cell=25, seed=9)
+    assert full.count() == blob_vecs.count()
+    # cap=8 thins each 20-row cell toward 8 expected rows
+    thin = cluster_balanced_sample(blob_vecs, cents, cap_per_cell=8, seed=9)
+    per_cell = {r["cell"]: r["n"] for r in
+                thin.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+                .collect()}
+    assert set(per_cell) <= {0, 1, 2}
+    for n in per_cell.values():
+        assert 1 <= n <= 16          # binomial(20, 0.4) well inside [1,16]
+    # deterministic: same seed -> same set; kept sets nest is NOT required
+    again = {r["vec_id"] for r in
+             cluster_balanced_sample(blob_vecs, cents, cap_per_cell=8,
+                                     seed=9).collect()}
+    assert again == {r["vec_id"] for r in thin.collect()}
+    # thinned output labels agree with plain assignment
+    lbl = {r["vec_id"]: r["cell"]
+           for r in assign_cells(blob_vecs, cents).collect()}
+    assert all(lbl[r["vec_id"]] == r["cell"] for r in thin.collect())
