@@ -133,6 +133,22 @@ def main(argv: list[str] | None = None) -> int:
     tq.add_argument("--decisions", required=True,
                     help="decisions parquet dir")
 
+    tc = sub.add_parser("train-centroids",
+                        help="train k-means centroids over an embeddings "
+                             "parquet (operators/kmeans.py); prints the "
+                             "centroid JSON; with --cap/--out also writes "
+                             "the cluster-balanced (id, cell) sample")
+    tc.add_argument("--input", required=True,
+                    help="parquet with (vec_id, embedding) columns")
+    tc.add_argument("--k", type=int, default=256)
+    tc.add_argument("--iters", type=int, default=10)
+    tc.add_argument("--seed", type=int, default=0)
+    tc.add_argument("--cap", type=int, default=0,
+                    help="also write a cluster-balanced sample capped at "
+                         "this many expected rows per cell (needs --out)")
+    tc.add_argument("--out", default=None,
+                    help="output parquet dir for the --cap sample")
+
     ds = sub.add_parser("dsir",
                         help="DSIR importance weights over a corpus "
                              "(Xie et al. 2023): score every doc by how "
@@ -285,6 +301,26 @@ def main(argv: list[str] | None = None) -> int:
 
         decisions = spark.read.parquet(args.decisions)
         print(json.dumps(train_quality_weights(decisions)))
+    elif args.mode == "train-centroids":
+        from .operators.kmeans import (cluster_balanced_sample, kmeans_cost,
+                                       train_centroids)
+
+        emb = spark.read.parquet(args.input)
+        cents = train_centroids(emb, k=args.k, n_iter=args.iters,
+                                seed=args.seed)
+        summary = {"k": len(cents), "dim": len(cents[0]) if cents else 0,
+                   "iters": args.iters, "seed": args.seed,
+                   "cost": kmeans_cost(emb, cents),
+                   "centroids": cents}
+        if args.cap:
+            if not args.out:
+                p.error("--cap needs --out")
+            sample = cluster_balanced_sample(emb, cents, args.cap,
+                                             seed=args.seed)
+            sample.write.mode("overwrite").parquet(args.out)
+            summary["sampled"] = spark.read.parquet(args.out).count()
+            summary["out"] = args.out
+        print(json.dumps(summary))
     elif args.mode == "dsir":
         from pyspark.sql import functions as F
 

@@ -134,15 +134,28 @@ def ivf_topk_grouped(corpus: DataFrame, queries: DataFrame,
 def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             threshold: float = 0.95,
-                            n_planes: int = 8) -> DataFrame:
+                            n_planes: int = 8,
+                            centroids: list[list[float]] | None = None,
+                            ) -> DataFrame:
     """Verified embedding near-dup pairs (id_a < id_b, cos >= threshold)
-    restricted to a shared LSH sign bucket — the pair generator behind both
-    loser-set removal and SemDeDup cluster dedup.  At scale the bucket join
-    bounds candidate pairs to ~N^2/2^planes; each vector has exactly one
-    bucket so no pair is generated twice."""
+    restricted to a shared bucket — the pair generator behind both loser-set
+    removal and SemDeDup cluster dedup.  At scale the bucket join bounds
+    candidate pairs to ~N^2/n_buckets; each vector has exactly one bucket so
+    no pair is generated twice.
+
+    Bucketing: data-oblivious LSH sign cells by default; pass ``centroids``
+    (operators/kmeans.py::train_centroids) to bucket by nearest trained
+    cell instead — the published SemDeDup shape (Abbas et al. 2023 cluster
+    on k-means cells first), which finds near-dups a sign boundary would
+    split and balances cells by data density."""
+    if centroids is not None:
+        from .kmeans import nearest_centroid
+        bucket = nearest_centroid(F.col(vec_col), centroids)
+    else:
+        bucket = sign_bucket(F.col(vec_col), n_planes)
     b = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
-        sign_bucket(F.col(vec_col), n_planes).alias("_bucket"),
+        bucket.alias("_bucket"),
     )
     return (
         b.alias("l").join(b.alias("r"), "_bucket")
@@ -171,7 +184,9 @@ def embedding_neardup_losers(df: DataFrame, id_col: str = "vec_id",
 def semantic_keep_one(df: DataFrame, id_col: str = "vec_id",
                       vec_col: str = "embedding",
                       threshold: float = 0.95,
-                      n_planes: int = 8) -> DataFrame:
+                      n_planes: int = 8,
+                      centroids: list[list[float]] | None = None,
+                      ) -> DataFrame:
     """SemDeDup-style cluster dedup (Abbas et al. 2023: group
     semantically-near docs, keep one representative per group): connected
     components over the verified near-dup pair graph, representative = min
@@ -185,7 +200,8 @@ def semantic_keep_one(df: DataFrame, id_col: str = "vec_id",
     ride the iteration."""
     from .dedup import connected_components
 
-    pairs = embedding_neardup_pairs(df, id_col, vec_col, threshold, n_planes)
+    pairs = embedding_neardup_pairs(df, id_col, vec_col, threshold, n_planes,
+                                    centroids=centroids)
     comp = connected_components(pairs.select("id_a", "id_b"))
     ids = df.select(F.col(id_col))
     return (

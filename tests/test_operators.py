@@ -1144,3 +1144,72 @@ def test_cluster_balanced_sample_caps_and_keeps_small_cells(blob_vecs):
     lbl = {r["vec_id"]: r["cell"]
            for r in assign_cells(blob_vecs, cents).collect()}
     assert all(lbl[r["vec_id"]] == r["cell"] for r in thin.collect())
+
+
+def test_semantic_keep_one_kmeans_cells_bridge_sign_boundary(spark):
+    """Two near-identical vectors straddling the first-coordinate sign
+    boundary: sign buckets put them in different cells (pair missed),
+    trained k-means cells put them together (pair found) — the reason the
+    SemDeDup path accepts centroids."""
+    from cfht2caom2_spark.operators.kmeans import train_centroids
+    from cfht2caom2_spark.operators.similarity import semantic_keep_one
+
+    rows = [(0, [0.01, 1.0, 0.0, 0.0]), (1, [-0.01, 1.0, 0.0, 0.0]),
+            (2, [5.0, -4.0, 2.0, 1.0]), (3, [-3.0, 2.0, -4.0, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    sign = {r["vec_id"]: r["is_kept"]
+            for r in semantic_keep_one(df, threshold=0.95,
+                                       n_planes=4).collect()}
+    assert sign[0] and sign[1]      # boundary split: both "unique", missed
+    cents = train_centroids(df, k=3, n_iter=4, seed=2)
+    km = {r["vec_id"]: r["is_kept"]
+          for r in semantic_keep_one(df, threshold=0.95,
+                                     centroids=cents).collect()}
+    assert km[0] and not km[1]      # same cell: pair found, min id kept
+    assert km[2] and km[3]
+
+
+def test_kmeans_assignment_plan_is_narrow(spark):
+    """assign_cells is a pure projection: no Exchange, no Python crossing —
+    the invariant that makes per-iteration Lloyd's cost one shuffle."""
+    from cfht2caom2_spark.operators.kmeans import assign_cells
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0])],
+        "vec_id bigint, embedding array<float>")
+    plan = assign_cells(df, [[0.0, 1.0], [1.0, 0.0]]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_train_centroids_cli_lifecycle(spark, tmp_path, monkeypatch, capsys):
+    import json
+
+    import cfht2caom2_spark.__main__ as cli
+    import cfht2caom2_spark.session as session_mod
+
+    monkeypatch.setattr(session_mod, "get_spark",
+                        lambda app_name=None, **kw: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in
+                 (rng.normal(0, 0.2, 3) + (10.0 * (i % 2)))])
+            for i in range(40)]
+    spark.createDataFrame(rows, "vec_id bigint, embedding array<float>") \
+        .write.mode("overwrite").parquet(str(tmp_path / "emb"))
+    rc = cli.main(["train-centroids", "--input", str(tmp_path / "emb"),
+                   "--k", "2", "--iters", "4", "--seed", "1",
+                   "--cap", "5", "--out", str(tmp_path / "sample")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["k"] == 2 and out["dim"] == 3
+    assert len(out["centroids"]) == 2
+    # the two blobs sit at ~0 and ~10 per coordinate
+    lo, hi = sorted(out["centroids"], key=lambda c: c[0])
+    assert all(abs(x) < 1 for x in lo) and all(abs(x - 10) < 1 for x in hi)
+    sample = spark.read.parquet(str(tmp_path / "sample"))
+    assert out["sampled"] == sample.count()
+    per = {r["cell"]: r["n"] for r in sample.groupBy("cell")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(1 <= n <= 12 for n in per.values())  # binomial(20, 1/4)
