@@ -56,7 +56,7 @@ BENCH_QUERIES = [
     "q_fuzzy_decontaminate", "q_corpus_shuffle", "q_pack_blocks",
     "q_dup_weights", "q_decontam_report", "q_block_texts",
     "q_kmeans_assign", "q_ivf_kmeans_topk", "q_split_assign",
-    "q_cluster_sample",
+    "q_cluster_sample", "q_ccnet_buckets",
     "q_pipeline_flagship",
 ]
 

@@ -21,7 +21,7 @@ scale the same construction runs with xxhash64 (JVM intrinsic) — swap
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 1_000_000
@@ -124,3 +124,54 @@ def assemble_mixture(spark, decisions_path: str, out_path: str,
     writer.parquet(out_path)
     got = obs.get
     return {"docs": got["docs"], "tokens": got["tokens"]}
+
+
+def rank_buckets(df: DataFrame, value_col: str, stratum_col: str,
+                 id_col: str, n_buckets: int = 3,
+                 labels: tuple[str, ...] = ("head", "middle", "tail"),
+                 out_col: str = "bucket") -> DataFrame:
+    """CCNet-style per-stratum rank bucketing (Wenzek et al. 2020 split
+    each language by LM perplexity into head/middle/tail): ntile over
+    (value, id) within the stratum — EXACT equal-count buckets, fully
+    deterministic through the id tiebreak.  Lower value = better = first
+    label (CCNet's convention: low perplexity is the head); pass a reversed
+    ``labels`` tuple for higher-is-better scores.
+
+    This is the SPEC (and the DuckDB-oracle-portable form: ntile semantics
+    — equal groups, earlier groups take the remainder — are identical in
+    both engines).  It sorts each stratum, which is exactly what CCNet
+    does, but at 10^12 docs prefer ``threshold_buckets``: same contract,
+    no corpus sort."""
+    if len(labels) != n_buckets:
+        raise ValueError("labels must match n_buckets")
+    w = Window.partitionBy(stratum_col).orderBy(value_col, id_col)
+    t = F.ntile(n_buckets).over(w)
+    return df.withColumn(
+        out_col, F.element_at(F.array(*[F.lit(x) for x in labels]), t))
+
+
+def threshold_buckets(df: DataFrame, value_col: str, stratum_col: str,
+                      n_buckets: int = 3,
+                      labels: tuple[str, ...] = ("head", "middle", "tail"),
+                      out_col: str = "bucket",
+                      accuracy: int = 10_000) -> DataFrame:
+    """The production path for ``rank_buckets``: per-stratum
+    ``percentile_approx`` cut points (one tiny map-side-combined agg — a
+    bounded sketch per stratum, never a sort), broadcast back, map-side
+    comparison labels.  Bucket sizes are approximate within the sketch's
+    rank error (1/accuracy); the label ORDER is exact by construction
+    (every 'head' value <= every 'middle' value within a stratum, ties
+    landing on the lower bucket)."""
+    if len(labels) != n_buckets:
+        raise ValueError("labels must match n_buckets")
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.groupBy(stratum_col).agg(
+        F.percentile_approx(value_col, fracs, accuracy).alias("_cuts"))
+    v = F.col(value_col)
+    label = F.lit(labels[-1])
+    for i in range(n_buckets - 2, -1, -1):
+        label = F.when(v <= F.element_at("_cuts", i + 1), labels[i]) \
+            .otherwise(label)
+    return (df.join(F.broadcast(cuts), stratum_col)
+              .withColumn(out_col, label)
+              .drop("_cuts"))

@@ -3222,3 +3222,32 @@ WHERE ({_KM_SAMPLE_BUCKET}) * c.n < {KM_CAP} * 1000000
 
 QUERIES["q_cluster_sample"] = q_cluster_sample
 ORACLES["q_cluster_sample"] = Q_CLUSTER_SAMPLE_SQL
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail terciles per language
+    (operators/sampling.py::rank_buckets — the exact ntile spec; the
+    no-sort percentile-threshold production path is pinned against it by
+    pytest).  Value column here is the exact whitespace token count so the
+    oracle is self-contained; production feeds model perplexity."""
+    from ..operators.sampling import rank_buckets
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", TK.ws_token_count(F.col("text")).alias("v"))
+    return rank_buckets(docs, "v", "lang", "doc_id").select(
+        "doc_id", "lang", "bucket")
+
+
+Q_CCNET_BUCKETS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, len({_TOKS})::BIGINT AS v FROM documents
+)
+SELECT doc_id, lang,
+       (['head', 'middle', 'tail'])[
+           ntile(3) OVER (PARTITION BY lang ORDER BY v, doc_id)] AS bucket
+FROM t
+"""
+
+
+QUERIES["q_ccnet_buckets"] = q_ccnet_buckets
+ORACLES["q_ccnet_buckets"] = Q_CCNET_BUCKETS_SQL

@@ -1213,3 +1213,50 @@ def test_train_centroids_cli_lifecycle(spark, tmp_path, monkeypatch, capsys):
     per = {r["cell"]: r["n"] for r in sample.groupBy("cell")
            .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert all(1 <= n <= 12 for n in per.values())  # binomial(20, 1/4)
+
+
+def test_threshold_buckets_tracks_rank_buckets(spark):
+    """The no-sort production path vs the ntile spec: order is exact (every
+    head value <= every middle value <= every tail value per stratum) and
+    bucket sizes agree within the sketch tolerance on a spread-out value
+    column."""
+    from cfht2caom2_spark.operators.sampling import (rank_buckets,
+                                                     threshold_buckets)
+
+    rows = [(i, "en" if i % 2 else "fr", float((i * 37) % 997))
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, v double")
+    exact = rank_buckets(df, "v", "lang", "doc_id")
+    approx = threshold_buckets(df, "v", "lang")
+    order = {"head": 0, "middle": 1, "tail": 2}
+    for out in (exact, approx):
+        got = out.groupBy("lang", "bucket").agg(
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+            F.count(F.lit(1)).alias("n")).collect()
+        by_lang = {}
+        for r in got:
+            by_lang.setdefault(r["lang"], []).append(r)
+        for lang, rs in by_lang.items():
+            rs.sort(key=lambda r: order[r["bucket"]])
+            assert [r["bucket"] for r in rs] == ["head", "middle", "tail"]
+            for a, b in zip(rs, rs[1:]):
+                assert a["hi"] <= b["lo"]            # order exact
+            for r in rs:
+                assert abs(r["n"] - 100) <= 10       # ~300/lang, terciles
+
+
+def test_rank_buckets_deterministic_on_ties(spark):
+    """All-equal values: the id tiebreak still yields equal-count buckets,
+    identically on rerun."""
+    from cfht2caom2_spark.operators.sampling import rank_buckets
+
+    df = spark.createDataFrame([(i, "en", 1.0) for i in range(9)],
+                               "doc_id bigint, lang string, v double")
+    a = {r["doc_id"]: r["bucket"]
+         for r in rank_buckets(df, "v", "lang", "doc_id").collect()}
+    b = {r["doc_id"]: r["bucket"]
+         for r in rank_buckets(df, "v", "lang", "doc_id").collect()}
+    assert a == b
+    from collections import Counter
+    assert Counter(a.values()) == {"head": 3, "middle": 3, "tail": 3}
+    assert [a[i] for i in range(9)] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
