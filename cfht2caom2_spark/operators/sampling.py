@@ -141,7 +141,12 @@ def rank_buckets(df: DataFrame, value_col: str, stratum_col: str,
     — equal groups, earlier groups take the remainder — are identical in
     both engines).  It sorts each stratum, which is exactly what CCNet
     does, but at 10^12 docs prefer ``threshold_buckets``: same contract,
-    no corpus sort."""
+    no corpus sort.
+
+    NULL values: callers must not pass them (a NULL score sorts FIRST here
+    but falls to the LAST label in ``threshold_buckets`` — the one place
+    the two paths would diverge); score columns in this repo are
+    non-nullable by construction."""
     if len(labels) != n_buckets:
         raise ValueError("labels must match n_buckets")
     w = Window.partitionBy(stratum_col).orderBy(value_col, id_col)
