@@ -170,3 +170,49 @@ def test_repetition_ladder_matches_python_reference(spark, data):
     ).collect()}
     want = {i: _ref_ladder(t.split(), n) for i, t in docs}
     assert got == want
+
+
+def test_split_assign_matches_python_md5_model(spark):
+    """The split label is a pure function of (id, seed) with md5 semantics —
+    pinned against an independent python computation so the contract can't
+    drift toward whatever the engines happen to agree on."""
+    import hashlib
+
+    from cfht2caom2_spark.operators.sampling import BUCKETS, split_assign
+
+    fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
+    seed = 11
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"]: r["split"]
+           for r in split_assign(df, "doc_id", fracs, seed=seed).collect()}
+
+    def py_split(doc_id):
+        h = hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()
+        b = int(h[:15], 16) % BUCKETS
+        cum = 0
+        for name, f in fracs.items():
+            cum += int(round(f * BUCKETS))
+            if b < cum:
+                return name
+        return "test"
+
+    assert got == {i: py_split(i) for i in range(300)}
+
+
+def test_cluster_sample_invariant_under_repartitioning(spark):
+    """The cluster-balanced keep-set is a pure function of the data — the
+    same rows survive at any partitioning (the cluster-size-independence
+    contract every deterministic sampler in this repo carries)."""
+    from cfht2caom2_spark.operators.kmeans import (cluster_balanced_sample,
+                                                   train_centroids)
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.normal(5.0 * (i % 4), 0.4, 4)])
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = train_centroids(df, k=4, n_iter=3, seed=0)
+    a = {(r["vec_id"], r["cell"]) for r in
+         cluster_balanced_sample(df.repartition(2), cents, 10).collect()}
+    b = {(r["vec_id"], r["cell"]) for r in
+         cluster_balanced_sample(df.repartition(13), cents, 10).collect()}
+    assert a == b and a
