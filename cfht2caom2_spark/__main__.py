@@ -192,6 +192,12 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
+    # argument-pairing checks BEFORE the Spark session exists: a bad pairing
+    # must fail in milliseconds, not after an hours-long training run (and
+    # p.error's SystemExit would bypass the spark.stop() at the end of main)
+    if args.mode == "train-centroids" and args.cap and not args.out:
+        p.error("--cap needs --out")
+
     from .session import get_spark
 
     spark = get_spark(app_name=f"cfht2caom2_spark-{args.mode}")

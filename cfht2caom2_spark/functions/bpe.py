@@ -8,8 +8,8 @@ tokenizer-training loop the corpus vocab counts (q_vocab_counts) feed.
 
 Reference analogue: the reference derives a reusable lookup artifact from a
 full pass over its inputs and then applies it per record
-(/root/reference/cfht2caom2/cfht_builder.py:77-140 builds per-file naming
-state once, main_app.py applies it per file); here the artifact is the
+(/root/reference/cfht2caom2/metadata.py:129-244 builds the offline metadata
+cache once, main_app.py applies it per file); here the artifact is the
 merge table, learned once from corpus counts and broadcast to every encoder
 task.
 

@@ -9,7 +9,7 @@ the web pages that look like Wikipedia" at corpus scale.
 
 Reference analogue: the reference picks which inputs deserve full processing
 with a categorical ladder over cheap per-record evidence
-(/root/reference/cfht2caom2/cfht_builder.py:77-140 chooses the name/metadata
+(/root/reference/cfht2caom2/cfht_name.py:87-141 chooses the name/metadata
 strategy per file); DSIR is the continuous, corpus-calibrated version of the
 same triage — rank every record by evidence that it belongs to the wanted
 class, then admit the top slice.

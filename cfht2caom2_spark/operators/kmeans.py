@@ -90,9 +90,10 @@ def train_centroids(df: DataFrame, k: int, n_iter: int = 10,
                     seed: int = 0) -> list[list[float]]:
     """Lloyd's algorithm: assign (narrow expression) -> per-cluster mean
     (one map-side-combined shuffle of k*dim partials) -> repeat.  Returns
-    the k x dim centroid list; deterministic for a given (input, k, seed,
-    n_iter) — avg is order-insensitive up to FP association, and Spark's
-    two-level avg merge is deterministic for a fixed partitioning."""
+    the k x dim centroid list; deterministic up to FP merge order for a
+    given (input, k, seed, n_iter) — the final-merge combine order follows
+    shuffle block fetch arrival, which Spark does not guarantee, so
+    borderline assignments can drift at the ulp level across runs."""
     centroids = init_centroids(df, k, id_col, vec_col, seed)
     dim = len(centroids[0]) if centroids else 0
     vecs = df.select(F.col(vec_col).alias("_v"))
@@ -115,11 +116,16 @@ def train_centroids(df: DataFrame, k: int, n_iter: int = 10,
 def kmeans_cost(df: DataFrame, centroids: list[list[float]],
                 vec_col: str = "embedding") -> float:
     """Sum of squared distances to the assigned centroid (the Lloyd's
-    objective) — one narrow scan + one scalar agg."""
+    objective) — one narrow scan + one scalar agg.  Empty input (or an
+    empty centroid list) costs 0.0: F.sum over zero rows is SQL NULL, which
+    float() would otherwise TypeError on (reachable via the train-centroids
+    CLI on an empty parquet)."""
+    if not centroids:
+        return 0.0
     vec = F.col(vec_col)
     dists = F.transform(_centroid_lit(centroids), lambda c: sq_dist(vec, c))
-    return float(
-        df.select(F.sum(F.array_min(dists)).alias("c")).first()["c"])
+    row = df.select(F.sum(F.array_min(dists)).alias("c")).first()
+    return float(row["c"]) if row["c"] is not None else 0.0
 
 
 def assign_cells(df: DataFrame, centroids: list[list[float]],

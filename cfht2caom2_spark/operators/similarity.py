@@ -139,7 +139,7 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                             ) -> DataFrame:
     """Verified embedding near-dup pairs (id_a < id_b, cos >= threshold)
     restricted to a shared bucket — the pair generator behind both loser-set
-    removal and SemDeDup cluster dedup.  At scale the bucket join bounds
+    removal and SemDeDup cluster dedup.  At scale the bucketing bounds
     candidate pairs to ~N^2/n_buckets; each vector has exactly one bucket so
     no pair is generated twice.
 
@@ -147,7 +147,27 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
     (operators/kmeans.py::train_centroids) to bucket by nearest trained
     cell instead — the published SemDeDup shape (Abbas et al. 2023 cluster
     on k-means cells first), which finds near-dups a sign boundary would
-    split and balances cells by data density."""
+    split and balances cells by data density.
+
+    Physical strategy (round 6, guide §4.2): ONE shuffle of the narrow
+    (id, vec, bucket) frame to ``groupBy(bucket).applyInPandas``; all pair
+    generation + cosine scoring happens inside numpy per cell.  The previous
+    in-bucket self-join materialized ~N^2/n_buckets JVM rows each carrying
+    BOTH vectors and scored them with interpreted higher-order-function
+    folds (~3 array folds per pair, no codegen); now each vector crosses
+    the shuffle once and the per-cell scorer is vectorized.  Numeric parity
+    is bitwise: the Spark fold is a sequential left-to-right double sum,
+    reproduced exactly by ``np.cumsum`` over the per-element products (both
+    are sequential IEEE-double additions; pinned by
+    tests/test_operators.py parity + the DuckDB oracles).  Pairs whose
+    vectors differ in length or contain NULLs scored NULL under zip_with —
+    i.e. were dropped by the threshold filter — and are likewise excluded
+    here (per-length grouping + NaN propagation).  Per-cell memory is
+    bounded by one row-block of products (|cell| × dim doubles per step),
+    not the pair count."""
+    import numpy as np
+    import pandas as pd
+
     if centroids is not None:
         from .kmeans import nearest_centroid
         bucket = nearest_centroid(F.col(vec_col), centroids)
@@ -157,14 +177,49 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
         bucket.alias("_bucket"),
     )
-    return (
-        b.alias("l").join(b.alias("r"), "_bucket")
-        .filter(F.col("l._id") < F.col("r._id"))
-        .withColumn("cos", cosine(F.col("l._v"), F.col("r._v")))
-        .filter(F.col("cos") >= threshold)
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"),
-                "cos")
-    )
+    thr = float(threshold)
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_c = [], [], []
+        pdf = pdf[pdf["_v"].notna()]
+        if len(pdf) >= 2:
+            lens = pdf["_v"].map(len)
+            for length, grp in pdf.groupby(lens, sort=False):
+                n = len(grp)
+                if n < 2:
+                    continue
+                ids = np.sort(grp["_id"].to_numpy())
+                order = np.argsort(grp["_id"].to_numpy(), kind="stable")
+                if length == 0:
+                    # empty vectors: fold gives dot=0, norm=0 ->
+                    # cos = 0/greatest(0, 1e-12) = 0.0 exactly
+                    if 0.0 >= thr:
+                        iu, ju = np.triu_indices(n, 1)
+                        out_a.append(ids[iu])
+                        out_b.append(ids[ju])
+                        out_c.append(np.zeros(len(iu)))
+                    continue
+                M = np.stack([np.asarray(v, dtype="float64")
+                              for v in grp["_v"].to_numpy()[order]])
+                norms = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
+                for i in range(n - 1):
+                    dots = np.cumsum(M[i] * M[i + 1:], axis=1)[:, -1]
+                    cos = dots / np.maximum(norms[i] * norms[i + 1:], 1e-12)
+                    keep = cos >= thr   # NaN (NULL element) compares False
+                    if keep.any():
+                        out_a.append(np.full(int(keep.sum()), ids[i]))
+                        out_b.append(ids[i + 1:][keep])
+                        out_c.append(cos[keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "cos": pd.Series(dtype="float64")})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "cos": np.concatenate(out_c)})
+
+    return b.groupBy("_bucket").applyInPandas(
+        score_cell, schema="id_a bigint, id_b bigint, cos double")
 
 
 def embedding_neardup_losers(df: DataFrame, id_col: str = "vec_id",

@@ -22,7 +22,7 @@ _spec.loader.exec_module(bench)
 
 
 def _full_result() -> dict:
-    # worst-case realistic timings: 999.999 s/query (a 66-query suite
+    # worst-case realistic timings: 999.999 s/query (a 68-query suite
     # averaging >=1000 s/query is an 18-hour bench run — no driver round
     # completes that, so 3-digit seconds bounds any line the driver can
     # actually capture; rounding carries it to the 6-char "1000.0")
