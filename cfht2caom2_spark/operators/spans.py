@@ -159,7 +159,8 @@ def _span_intervals(stream: DataFrame, id_col: str, k: int,
 
 def repeated_spans(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", k: int = 50,
-                   key_fn=None, min_count: int = 2) -> DataFrame:
+                   key_fn=None, min_count: int = 2,
+                   checkpoint: bool = True) -> DataFrame:
     """Per-doc duplicated-span summary:
     (id, n_tokens, n_spans, dup_token_count, dup_token_frac).
 
@@ -168,26 +169,39 @@ def repeated_spans(docs: DataFrame, id_col: str = "doc_id",
     (within-doc repeats count — a doc that repeats its own paragraph is
     flagged exactly like cross-doc copying, per ExactSubstr).  Every input
     doc appears exactly once (ids assumed unique, as elsewhere in the
-    dedup family)."""
+    dedup family).
+
+    ``checkpoint`` (round 6, guide §2.4): the (id, pos, key) stream feeds
+    BOTH sides of the duplicated-key detection (the groupBy and the marking
+    probe), and Catalyst plans no ReusedExchange across those differently-
+    shaped consumers — without materialization the tokenize + window-build
+    subtree (the dominant per-row cost) evaluates once per branch.  A lazy
+    ``localCheckpoint`` pins the slim stream so every consumer reads the
+    blocks; measured at sf1.0 this took the registry query from ~20 s to
+    ~7 s.  ``checkpoint=False`` is the full-lineage inspection seam for
+    plan-shape tests (the pack_blocks pattern)."""
     keys = window_keys(F.col(text_col), k)
     if key_fn is not None:
         keys = F.transform(keys, key_fn)
-    base = docs.select(
-        F.col(id_col),
-        F.size(_tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
-        keys.alias("_keys"))
 
-    stream = base.select(id_col, F.posexplode("_keys").alias("pos", "_k"))
+    stream = docs.select(F.col(id_col),
+                         F.posexplode(keys).alias("pos", "_k"))
+    if checkpoint:
+        stream = stream.localCheckpoint(eager=False)
     spans = _span_intervals(stream, id_col, k, min_count,
                             exempt_first=False)
 
-    # counts derive from the interval array — same fold as the removal path
+    # counts derive from the interval array — same fold as the removal path;
+    # this branch prunes down to tokenize-only (no window build)
+    n_tokens_df = docs.select(
+        F.col(id_col),
+        F.size(_tokens(F.col(text_col))).cast("bigint").alias("n_tokens"))
     n_spans = F.size("_spans").cast("bigint")
     dup_tokens = F.aggregate(
         "_spans", F.lit(0).cast("bigint"),
         lambda a, s: a + s["e"] - s["s"] + 1)
     return (
-        base.select(id_col, "n_tokens")
+        n_tokens_df
         .join(spans, on=id_col, how="left")
         .select(
             id_col, "n_tokens",
@@ -203,7 +217,8 @@ def repeated_spans(docs: DataFrame, id_col: str = "doc_id",
 def remove_repeated_spans(docs: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", k: int = 50,
                           key_fn=None, min_count: int = 2,
-                          order_col: str | None = None) -> DataFrame:
+                          order_col: str | None = None,
+                          checkpoint: bool = True) -> DataFrame:
     """ExactSubstr REMOVAL (Lee et al. §4.1 keep-one semantics, window-
     granular): for every duplicated K-window key, its FIRST occurrence —
     ordered by (order_col, id, pos); id order when order_col is None —
@@ -217,7 +232,10 @@ def remove_repeated_spans(docs: DataFrame, id_col: str = "doc_id",
     Scale shape = repeated_spans plus one map-side-combinable min_by per
     key (the exemption) — still three slim shuffles, no corpus text
     through any of them; the text rides only the final join-back, keyed by
-    the unique doc id.
+    the unique doc id.  ``checkpoint`` materializes the slim (id, ord, pos,
+    key) stream once (see repeated_spans — the exemption shape consumes the
+    stream twice, so the win is the same); the reassembly branch prunes to
+    tokenize-only.
     """
     ord_expr = F.col(order_col) if order_col else F.col(id_col)
     keys = window_keys(F.col(text_col), k)
@@ -227,11 +245,12 @@ def remove_repeated_spans(docs: DataFrame, id_col: str = "doc_id",
     # matching; lower() never changes whitespace, so indices line up)
     base = docs.select(F.col(id_col), F.col(text_col),
                        ord_expr.alias("_ord"),
-                       _tokens(F.col(text_col), lower=False).alias("_toks"),
-                       keys.alias("_keys"))
+                       _tokens(F.col(text_col), lower=False).alias("_toks"))
 
-    stream = base.select(id_col, "_ord",
-                         F.posexplode("_keys").alias("pos", "_k"))
+    stream = docs.select(F.col(id_col), ord_expr.alias("_ord"),
+                         F.posexplode(keys).alias("pos", "_k"))
+    if checkpoint:
+        stream = stream.localCheckpoint(eager=False)
     spans = _span_intervals(stream, id_col, k, min_count, exempt_first=True)
 
     joined = base.join(spans, on=id_col, how="left")
