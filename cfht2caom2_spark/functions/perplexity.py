@@ -269,26 +269,64 @@ def char_bigram_counts(df, text_col: str = "extracted_text",
     model inputs from the payload itself (espadons energy bounds,
     /root/reference/cfht2caom2/espadons_energy_augmentation.py:139-153).
     """
-    norm = F.concat(
-        F.lit(" "),
-        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "),
-        F.lit(" "))
+    # Round 6 (guide §4.2): the previous JVM form split every document into
+    # a per-codepoint string array, zipped it into ~len(text) two-char
+    # strings and exploded them — ~16M tiny string allocations at sf1.0
+    # (15.9 s).  Counting is the textbook vectorized-batch job: one
+    # mapInPandas crossing carries only (lang, text), each task folds its
+    # whole partition into a charset²-bounded counter via numpy (codepoint
+    # pairs packed into int64 keys, doc boundaries masked exactly), and the
+    # final groupBy sums per-task partials — the same map-side-combine
+    # shape, with the per-row work two orders of magnitude cheaper.
+    # Semantics are unchanged: Python re.ASCII \s == Java default \s
+    # ([ \t\n\x0B\f\r]) and str.lower matches UTF8String.toLowerCase on
+    # this pipeline's text; equivalence vs the expression form is pinned by
+    # the DuckDB oracle (tests/test_oracle_parity.py) and
+    # tests/test_operators.py char-bigram parity.
+    import re
+
+    import numpy as np
+    import pandas as pd
+
     base = (df.filter(F.col(text_col).isNotNull()
                       & F.col(lang_col).isNotNull())
-            .select(F.col(lang_col).alias("lang"), norm.alias("_n")))
-    # zip of shifted slices (word_shingles' O(n) form): F.substr by
-    # codepoint index re-scans the UTF-8 string per call — O(n²)/doc
-    chars = F.filter(F.split(F.col("_n"), ""), lambda c: c != F.lit(""))
-    n = F.size(chars)
-    win = F.greatest(n - 1, F.lit(1))
-    pair = F.zip_with(F.slice(chars, 1, win), F.slice(chars, 2, win),
-                      lambda a, b: F.concat(a, b))
-    bigrams = base.select(
-        "lang",
-        F.explode(F.when(n >= 2, pair)
-                  .otherwise(F.array().cast("array<string>"))).alias("bigram"))
-    return (bigrams.groupBy("lang", "bigram")
-            .agg(F.count(F.lit(1)).alias("n")))
+            .select(F.col(lang_col).alias("lang"),
+                    F.col(text_col).alias("_t")))
+
+    def count_partition(batches):
+        ws = re.compile(r"\s+", re.ASCII)
+        per_lang: dict[str, dict[int, int]] = {}
+        for pdf in batches:
+            for lang, grp in pdf.groupby("lang", sort=False):
+                texts = [" " + ws.sub(" ", t.lower()) + " "
+                         for t in grp["_t"]]
+                joined = "".join(texts)
+                codes = np.frombuffer(
+                    joined.encode("utf-32-le"), dtype=np.uint32)
+                if len(codes) < 2:
+                    continue
+                keys = (codes[:-1].astype(np.int64) << 21) | codes[1:]
+                # mask the artificial bigram straddling each doc boundary
+                valid = np.ones(len(codes) - 1, dtype=bool)
+                ends = np.cumsum([len(t) for t in texts])[:-1]
+                valid[ends - 1] = False
+                uniq, cnt = np.unique(keys[valid], return_counts=True)
+                acc = per_lang.setdefault(lang, {})
+                for k, c in zip(uniq.tolist(), cnt.tolist()):
+                    acc[k] = acc.get(k, 0) + c
+        rows = [(lang, chr(k >> 21) + chr(k & ((1 << 21) - 1)), c)
+                for lang, acc in per_lang.items()
+                for k, c in acc.items()]
+        yield pd.DataFrame(rows, columns=["lang", "bigram", "n"]) \
+            if rows else pd.DataFrame(
+                {"lang": pd.Series(dtype="object"),
+                 "bigram": pd.Series(dtype="object"),
+                 "n": pd.Series(dtype="int64")})
+
+    partials = base.mapInPandas(
+        count_partition, schema="lang string, bigram string, n long")
+    return (partials.groupBy("lang", "bigram")
+            .agg(F.sum("n").alias("n")))
 
 
 def char_unigram_counts(df, text_col: str = "extracted_text",

@@ -69,7 +69,7 @@ def _shingles_sql(toks: str = "toks", k: int = 3) -> str:
 # --------------------------------------------------------------------------
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     text = F.col("text")
     toks = Q.tokens(text)
     docs = docs.withColumn("_toks", toks)
@@ -366,7 +366,7 @@ FROM documents GROUP BY lang
 # --------------------------------------------------------------------------
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         TK.ws_token_count(F.col("text")).alias("ws_tokens"),
@@ -1042,7 +1042,7 @@ def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-stopword argmax (deterministic tie-break: hit count desc, lang
     asc; zero hits -> 'und').  The production trigram model lives in
     functions/langid.py; this is its SQL-checkable little sibling."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     toks = Q.tokens(F.col("text"))
     docs = docs.withColumn("_toks", toks)
 
@@ -2094,7 +2094,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/sampling.py)."""
     from ..functions.quality import quality_score
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     text = F.col("text")
     docs = docs.withColumn("_toks", Q.tokens(text))
     t = F.col("_toks")
@@ -2160,7 +2160,7 @@ def q_quality_score_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     the --quality-weights CLI path, exercised under the oracle."""
     from ..functions.quality import quality_score
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     text = F.col("text")
     docs = docs.withColumn("_toks", Q.tokens(text))
     t = F.col("_toks")
@@ -2214,7 +2214,7 @@ def q_char_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of corpus size."""
     from ..functions.perplexity import char_bigram_counts
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return char_bigram_counts(docs, text_col="text", lang_col="lang")
 
 
@@ -3002,7 +3002,7 @@ def q_block_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossing it in stream order (packing.materialize_blocks)."""
     from ..operators.packing import materialize_blocks, pack_blocks
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     packed = pack_blocks(docs, "doc_id", "text",
                          block_tokens=PACK_BLOCK_TOKENS)
     return materialize_blocks(docs, packed, "doc_id", "text",
