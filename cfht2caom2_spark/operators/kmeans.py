@@ -13,12 +13,16 @@ Reference analogue: the nearest-reference metadata lookup
 row from a small reference set; here the reference set is learned.
 
 Scale design (the 100 TB story):
-  * ASSIGNMENT is a pure column expression: squared-L2 distances to a
-    k-element LITERAL centroid array (``F.transform`` over the array) and
-    ``array_position(dists, array_min(dists))`` for the argmin — O(k*dim)
-    per row JVM-side, whole-stage codegen, ZERO shuffle and zero Python.
-    Ties break to the lowest cluster id (first position of the min), the
-    same rule the DuckDB oracle's ``ORDER BY dist, cluster`` implements.
+  * ASSIGNMENT has two physical paths (``assign_cells``): a pure column
+    expression over a k-element LITERAL centroid array for small k*dim
+    (zero shuffle, zero Python — but the literal tree re-instantiates per
+    lambda, so Catalyst analysis/codegen cost grows with k*dim and the
+    path degrades past a few thousand literal nodes), and a vectorized
+    mapInPandas numpy path for production k*dim (FAISS-like k=256,
+    dim=1024) that computes all distances as batched broadcasts with the
+    same sequential fold order — bitwise-identical labels, bounded batch
+    memory.  Ties break to the lowest cluster id on both paths, the same
+    rule the DuckDB oracle's ``ORDER BY dist, cluster`` implements.
   * Each Lloyd's iteration is ONE map-side-combined ``groupBy(cluster)``
     with ``dim`` avg aggregates: the shuffle carries k*dim partial
     (sum, count) pairs PER MAP TASK — never the vectors.  A 10^9-vector
@@ -130,13 +134,71 @@ def kmeans_cost(df: DataFrame, centroids: list[list[float]],
 
 def assign_cells(df: DataFrame, centroids: list[list[float]],
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 out_col: str = "cell") -> DataFrame:
+                 out_col: str = "cell",
+                 vectorized: bool | None = None) -> DataFrame:
     """(id, cell): every vector labeled with its nearest-centroid cell —
-    the IVF index build / cluster-balanced-sampling key.  Pure projection,
-    no shuffle."""
-    return df.select(
-        F.col(id_col),
-        nearest_centroid(F.col(vec_col), centroids).alias(out_col))
+    the IVF index build / cluster-balanced-sampling key.
+
+    Two physical paths, same labeling (parity pinned by
+    tests/test_operators.py::test_assign_cells_vectorized_parity):
+
+      * expression (default for small k*dim): pure projection, no shuffle,
+        no Python.  The centroid matrix is inlined as a LITERAL
+        array<array<double>> — at production scale (k=256, dim=1024 ≈ 262k
+        Literal nodes, re-instantiated per transform lambda) Catalyst
+        analysis cost blows up and codegen falls past the 64 KB method
+        limit into interpreted mode, so this path does NOT survive large
+        k*dim (measured: see OPTIMIZATION_r06.md kmeans microbench).
+      * vectorized (auto at k*dim >= ``_VEC_KDIM_THRESHOLD``): one
+        mapInPandas crossing shipping only (id, vec); each batch computes
+        all k distances via the BLAS identity ||x-c||^2 = ||x||^2 - 2x.c
+        + ||c||^2 (one matmul per batch) and takes the first-min argmin.
+        FP caveat, deliberate: the matmul associates additions differently
+        from ``sq_dist``'s sequential fold, so distances can differ at the
+        ulp level and a vector equidistant-to-rounding between two cells
+        may flip — the standard FAISS-style trade.  EXACT ties (duplicate
+        centroids) still resolve identically (equal inputs give equal
+        doubles; argmin first-min == array_position lowest cell).  The
+        microbench in OPTIMIZATION_r06.md measures both paths at k=256,
+        dim=512: the literal expression tree costs ~70 s of driver-side
+        analysis before the first task runs; this path plans in
+        milliseconds.
+
+    ``vectorized=None`` auto-selects; True/False force a path."""
+    if vectorized is None:
+        k = len(centroids)
+        dim = len(centroids[0]) if centroids else 0
+        vectorized = k * dim >= _VEC_KDIM_THRESHOLD
+    if not vectorized:
+        return df.select(
+            F.col(id_col),
+            nearest_centroid(F.col(vec_col), centroids).alias(out_col))
+
+    import numpy as np
+    import pandas as pd
+
+    cent = np.asarray(centroids, dtype="float64")
+    cent_t = np.ascontiguousarray(cent.T)
+    c2 = (cent * cent).sum(axis=1)
+
+    def assign_batches(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            vecs = np.stack([np.asarray(v, dtype="float64")
+                             for v in pdf[vec_col]])
+            d2 = ((vecs * vecs).sum(axis=1)[:, None]
+                  - 2.0 * (vecs @ cent_t) + c2[None, :])
+            yield pd.DataFrame({id_col: ids,
+                                out_col: np.argmin(d2, axis=1)})  # first min
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign_batches, schema=f"{id_col} bigint, {out_col} bigint")
+
+
+# expression-path literal trees stay fast well past the oracle's toy size;
+# the crossover (measured at sf1.0, OPTIMIZATION_r06.md) sits around a few
+# thousand literal nodes, after which analysis/codegen dominates
+_VEC_KDIM_THRESHOLD = 4096
 
 
 def ivf_centroid_topk(corpus: DataFrame, queries: DataFrame,
@@ -209,6 +271,10 @@ def cluster_balanced_sample(df: DataFrame, centroids: list[list[float]],
     assigned = df.select(
         F.col(id_col),
         nearest_centroid(F.col(vec_col), centroids).alias("cell"))
+    # the slim (id, cell) frame feeds BOTH the cell-count aggregate and the
+    # keep-filter join-back; without materialization the k*dim assignment
+    # expression evaluates twice per row (guide §2.4 pay-once discipline)
+    assigned = assigned.localCheckpoint(eager=False)
     counts = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("_n"))
     bucket = (bucket_fn or sample_bucket)(

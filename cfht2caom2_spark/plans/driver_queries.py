@@ -702,7 +702,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VERIFICATION BASELINE, not a production path: brute-force cosine over
     every (query, vector) pair — run only at small SF to cross-check ANN
     ranking.  The scale paths are q_ann_lsh / q_ivf_topk."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < TOPK_NQUERIES)
     return SIM.cosine_topk(emb, queries, k=TOPK_K).select(
         "query_id", "vec_id", "rank"
@@ -3076,7 +3076,7 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (iterative training is not one SQL query)."""
     from ..operators.kmeans import assign_cells
 
-    return assign_cells(_t(spark, sf_dir, "embeddings"),
+    return assign_cells(_t_wide(spark, sf_dir, "embeddings"),
                         _km_centroids(spark, sf_dir))
 
 
@@ -3102,7 +3102,7 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     density-tracking sibling of q_ivf_topk's sign-bucket cells."""
     from ..operators.kmeans import ivf_centroid_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < TOPK_NQUERIES)
     return ivf_centroid_topk(
         emb, queries, _km_centroids(spark, sf_dir),
@@ -3192,7 +3192,7 @@ def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells at/under the cap pass entirely."""
     from ..operators.kmeans import cluster_balanced_sample
 
-    return cluster_balanced_sample(_t(spark, sf_dir, "embeddings"),
+    return cluster_balanced_sample(_t_wide(spark, sf_dir, "embeddings"),
                                    _km_centroids(spark, sf_dir),
                                    cap_per_cell=KM_CAP, seed=KM_SAMPLE_SEED)
 

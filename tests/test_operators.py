@@ -1170,8 +1170,9 @@ def test_semantic_keep_one_kmeans_cells_bridge_sign_boundary(spark):
 
 
 def test_kmeans_assignment_plan_is_narrow(spark):
-    """assign_cells is a pure projection: no Exchange, no Python crossing —
-    the invariant that makes per-iteration Lloyd's cost one shuffle."""
+    """assign_cells (expression path) is a pure projection: no Exchange, no
+    Python crossing — the invariant that makes per-iteration Lloyd's cost
+    one shuffle."""
     from cfht2caom2_spark.operators.kmeans import assign_cells
 
     df = spark.createDataFrame(
@@ -1181,6 +1182,43 @@ def test_kmeans_assignment_plan_is_narrow(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_assign_cells_vectorized_parity(spark):
+    """The production-k*dim numpy-matmul assignment path labels every
+    vector like the literal-expression path on this data: the matmul
+    identity can differ from sq_dist's sequential fold at the ulp level
+    (documented FAISS-style trade), which flips a label only for vectors
+    equidistant-to-rounding between cells — absent here by construction.
+    EXACT ties are probed with duplicated centroids (tie on EVERY vector):
+    np.argmin's first-min must match array_position's lowest-cell rule."""
+    import math
+    import random
+
+    from cfht2caom2_spark.operators.kmeans import assign_cells
+
+    rng = random.Random(7)
+    dim, k, n = 19, 6, 400
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    cents = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(k)]
+    cents[3] = list(cents[1])           # exact duplicate -> guaranteed ties
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    expr = {r["vec_id"]: r["cell"]
+            for r in assign_cells(df, cents, vectorized=False).collect()}
+    vec = {r["vec_id"]: r["cell"]
+           for r in assign_cells(df, cents, vectorized=True).collect()}
+    assert expr == vec
+    assert any(v == 1 for v in expr.values())  # ties resolved to cell 1
+    assert not any(v == 3 for v in expr.values())
+    # auto-dispatch: small k*dim stays on the narrow expression plan,
+    # large k*dim crosses to Python
+    small = assign_cells(df, cents) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in small
+    big_c = [[math.sin(i * j + 1) for j in range(256)] for i in range(64)]
+    big = assign_cells(df.limit(1), big_c) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in big
 
 
 def test_train_centroids_cli_lifecycle(spark, tmp_path, monkeypatch, capsys):
