@@ -251,6 +251,94 @@ def dup_ngram_char_frac(toks: Column, n: int) -> Column:
         covered.cast("double") / tot.cast("double"))
 
 
+def repetition_ladder_stats_fast(df: DataFrame, id_col: str = "doc_id",
+                                 text_col: str = "text") -> DataFrame:
+    """(id, the 9 ladder fracs) via one vectorized mapInPandas crossing —
+    the batch-counting twin of the ladder's Column expressions (round 6,
+    guide §4.2).  The expression rungs each array_sort the gram array and
+    run interpreted struct-accumulator folds per doc per n (9 rungs);
+    here a Python dict per (doc, n) counts grams in one pass and numpy
+    masks the duplicated coverage.  Semantics are identical, tie-breaks
+    included: top rung picks max (count, gram char len) with the
+    lexicographically smallest joined gram among ties; dup rung covers the
+    union of duplicated occurrences; all fractions are the same
+    bigint->double divisions.  Parity is pinned by the DuckDB oracle and a
+    direct expression-vs-fast equality test
+    (tests/test_operators.py::test_repetition_ladder_fast_parity).
+
+    Edge note: NULL text yields all-zero fracs here where the expression
+    rungs propagate NULL — indistinguishable on this engine's tables (the
+    testdata generator never emits NULL text; callers that might should
+    filter first, as every other text operator here does)."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    top_ns, dup_ns = REP_LADDER_TOP_NS, REP_LADDER_DUP_NS
+    frac_cols = [f"top_{n}gram_char_frac" for n in top_ns] + \
+                [f"dup_{n}gram_char_frac" for n in dup_ns]
+
+    def ladder_batches(batches):
+        ws = re.compile(r"\s+", re.ASCII)
+
+        def doc_stats(text):
+            toks = [t for t in ws.split((text or "").strip(" ")) if t]
+            T = len(toks)
+            lens = np.fromiter((len(t) for t in toks), dtype="int64",
+                               count=T)
+            tot = int(lens.sum())
+            run = np.cumsum(np.concatenate(([0], lens)))
+            out = []
+            for n in top_ns:
+                cov = 0
+                if tot > 0 and T >= n:
+                    # the winner is max by (count, then charlen) — the
+                    # expression fold's final lexicographic tie-break only
+                    # picks WHICH gram wins, and every such tie shares the
+                    # same (count, charlen) product, so cov is tie-free
+                    cnt: dict = {}
+                    charlen = {}
+                    for i in range(T - n + 1):
+                        g = tuple(toks[i:i + n])
+                        cnt[g] = cnt.get(g, 0) + 1
+                        if g not in charlen:
+                            charlen[g] = int(run[i + n] - run[i])
+                    bc = max(cnt.values())
+                    bl = max(charlen[g] for g, c in cnt.items() if c == bc)
+                    cov = bc * bl
+                out.append(0.0 if tot <= 0 else float(cov) / float(tot))
+            for n in dup_ns:
+                chars = 0
+                if tot > 0 and T >= n:
+                    occ: dict = {}
+                    for i in range(T - n + 1):
+                        occ.setdefault(tuple(toks[i:i + n]), []).append(i)
+                    covered = np.zeros(T, dtype=bool)
+                    for idxs in occ.values():
+                        if len(idxs) > 1:
+                            for i in idxs:
+                                covered[i:i + n] = True
+                    chars = int(lens[covered].sum())
+                out.append(0.0 if tot <= 0 else float(chars) / float(tot))
+            return out
+
+        for pdf in batches:
+            stats = [doc_stats(t) for t in pdf[text_col]]
+            if stats:
+                res = pd.DataFrame(stats, columns=frac_cols)
+            else:
+                res = pd.DataFrame(
+                    {c: pd.Series(dtype="float64") for c in frac_cols})
+            res.insert(0, id_col, pdf[id_col].to_numpy())
+            yield res
+
+    schema = f"{id_col} bigint, " + ", ".join(
+        f"{c} double" for c in frac_cols)
+    return df.select(id_col, text_col).mapInPandas(ladder_batches,
+                                                   schema=schema)
+
+
 def with_repetition_ladder(df: DataFrame, text_col: str = "extracted_text",
                            lang_col: str | None = None) -> DataFrame:
     """Append the 9 ladder stats (top_{2,3,4}gram_char_frac,

@@ -2728,9 +2728,12 @@ def q_repetition_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full Gopher repetition ladder (Rae et al. 2021 Table A1) with the
     published thresholds: fraction of token chars in the most frequent
     {2,3,4}-gram and in duplicated {5..10}-grams, plus the fired
-    dup_top_{n}gram / dup_{n}gram rules.  Narrow per-doc array folds — no
-    shuffle (the same Column exprs the pipeline applies under
-    profile.gopher_repetition_gates)."""
+    dup_top_{n}gram / dup_{n}gram rules.  Round 6: stats come from the
+    vectorized batch counter (quality.repetition_ladder_stats_fast — one
+    Python crossing, dict counts + numpy coverage) instead of 9 interpreted
+    array-fold rungs per doc; the Column-expression rungs remain what the
+    pipeline applies under profile.gopher_repetition_gates, with equality
+    pinned by test_repetition_ladder_fast_parity and the DuckDB oracle."""
     from ..config import DEFAULT_PROFILE
 
     docs = _t_wide(spark, sf_dir, "documents").select(
@@ -2739,16 +2742,8 @@ def q_repetition_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.col("text"), 1, 120),
             F.expr(f"repeat('{_REP_PHRASE}', cast(doc_id % 6 as int))"),
         ).alias("text"))
-    docs = docs.withColumn("_toks", Q.tokens(F.col("text")))
-    t = F.col("_toks")
-    cols = [F.col("doc_id")]
-    for n in Q.REP_LADDER_TOP_NS:
-        cols.append(Q.top_ngram_char_frac(t, n)
-                    .alias(f"top_{n}gram_char_frac"))
-    for n in Q.REP_LADDER_DUP_NS:
-        cols.append(Q.dup_ngram_char_frac(t, n)
-                    .alias(f"dup_{n}gram_char_frac"))
-    stats = docs.select(*cols)
+    stats = Q.repetition_ladder_stats_fast(docs, id_col="doc_id",
+                                           text_col="text")
     conds = Q.repetition_ladder_rules(DEFAULT_PROFILE)
     rules = F.array_sort(F.filter(
         F.array(*[F.when(c, F.lit(r)) for r, c in conds.items()]),

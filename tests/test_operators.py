@@ -1169,6 +1169,47 @@ def test_semantic_keep_one_kmeans_cells_bridge_sign_boundary(spark):
     assert km[2] and km[3]
 
 
+def test_repetition_ladder_fast_parity(spark):
+    """repetition_ladder_stats_fast (the batch-counting mapInPandas twin)
+    equals the 9 Column-expression ladder rungs bitwise on adversarial
+    inputs: repeated phrases (deep dup coverage), count-vs-charlen winner
+    conflicts in the top rung, short docs (< n tokens), empty and
+    whitespace-only text, multi-space separators."""
+    from pyspark.sql import functions as F
+
+    from cfht2caom2_spark.functions import quality as Q
+
+    rows = [
+        (0, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+        (1, "aa bb aa bb aa bb cc dd ee ff gg hh ii jj kk ll mm nn"),
+        (2, "the quick brown fox jumps over the lazy dog " * 4),
+        (3, "longword longword xx yy zz " + "q w " * 12),
+        (4, "one two three"),            # < n for every dup rung
+        (5, ""),                          # no tokens
+        (6, "   "),                       # whitespace only
+        (7, "a  b   a  b a b a b a b a b a b"),  # multi-space separators
+        (8, "x " * 30 + "copy me twice copy me twice copy me twice"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    docs = docs.withColumn("_toks", Q.tokens(F.col("text")))
+    t = F.col("_toks")
+    cols = [F.col("doc_id")]
+    for n in Q.REP_LADDER_TOP_NS:
+        cols.append(Q.top_ngram_char_frac(t, n)
+                    .alias(f"top_{n}gram_char_frac"))
+    for n in Q.REP_LADDER_DUP_NS:
+        cols.append(Q.dup_ngram_char_frac(t, n)
+                    .alias(f"dup_{n}gram_char_frac"))
+    expr = {r["doc_id"]: r.asDict() for r in docs.select(*cols).collect()}
+    fast = {r["doc_id"]: r.asDict()
+            for r in Q.repetition_ladder_stats_fast(
+                docs, id_col="doc_id", text_col="text").collect()}
+    assert expr == fast
+    # sanity: the adversarial rows actually exercise non-zero coverage
+    assert fast[0]["dup_5gram_char_frac"] > 0.9
+    assert fast[8]["dup_5gram_char_frac"] > 0.0
+
+
 def test_kmeans_assignment_plan_is_narrow(spark):
     """assign_cells (expression path) is a pure projection: no Exchange, no
     Python crossing — the invariant that makes per-iteration Lloyd's cost
