@@ -303,6 +303,53 @@ def simhash(text: Column, bits: int = 16, features_fn=None,
     )
 
 
+def _simhash_md5_frame(docs: DataFrame, id_col: str, text_col: str,
+                       bits: int, k: int) -> DataFrame:
+    """(_id, _sh) simhash signatures over md5-hashed word k-shingles via
+    one vectorized Python crossing — bit-identical to
+    ``simhash(features_fn=word_shingles(k), hash_fn=hash60)``: hashlib md5
+    over UTF-8 == F.md5, first 15 hex chars == the 60-bit hash, and the
+    per-bit ±1 sums / weighted reassembly are exact integer arithmetic.
+    NULL-text rows are omitted (their expression signature is NULL, which
+    never joins — identical pair output)."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    def sig_batches(batches):
+        ws = re.compile(r"\s+", re.ASCII)
+        weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+        shifts = np.arange(bits, dtype=np.int64)
+
+        def one(text):
+            toks = [t for t in ws.split(text.strip(" ").lower()) if t]
+            if len(toks) >= k:
+                shingles = {" ".join(toks[i:i + k])
+                            for i in range(len(toks) - k + 1)}
+            else:
+                shingles = {" ".join(toks)}
+            h = np.fromiter(
+                (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                 for s in shingles), dtype=np.int64, count=len(shingles))
+            bitmat = (h[:, None] >> shifts[None, :]) & 1
+            counts = (2 * bitmat - 1).sum(axis=0)
+            return int(weights[counts > 0].sum())
+
+        for pdf in batches:
+            pdf = pdf[pdf[text_col].notna()]
+            yield pd.DataFrame({
+                "_id": pdf[id_col].to_numpy(),
+                "_sh": [one(t) for t in pdf[text_col]],
+            }) if len(pdf) else pd.DataFrame(
+                {"_id": pd.Series(dtype="int64"),
+                 "_sh": pd.Series(dtype="int64")})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        sig_batches, schema="_id bigint, _sh bigint")
+
+
 def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", bits: int = 60,
                   n_bands: int = 4, max_hamming: int = 3,
@@ -339,11 +386,22 @@ def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
             "for exact banded recall")
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
-    sh = docs.select(
-        F.col(id_col).alias("_id"),
-        simhash(F.col(text_col), bits=bits,
-                features_fn=lambda t: word_shingles(t, k=shingle_k),
-                hash_fn=hash_fn or hash60).alias("_sh"))
+    if hash_fn is None or hash_fn is hash60:
+        # md5-family fast path (round 6, guide §4.2): the expression form
+        # folds a `bits`-element contrib array per shingle per doc
+        # (~bits × shingles interpreted lambda evals); one mapInPandas
+        # crossing computes the identical signature with hashlib md5 +
+        # one numpy bit-matrix per doc — exact integer math, same distinct
+        # shingle set, pinned by the brute-force DuckDB oracle.  Custom
+        # hash_fn callers (e.g. hash60_fast/xxhash64, which Python cannot
+        # reproduce) keep the expression path.
+        sh = _simhash_md5_frame(docs, id_col, text_col, bits, shingle_k)
+    else:
+        sh = docs.select(
+            F.col(id_col).alias("_id"),
+            simhash(F.col(text_col), bits=bits,
+                    features_fn=lambda t: word_shingles(t, k=shingle_k),
+                    hash_fn=hash_fn).alias("_sh"))
     # both sides of the banded self-join would otherwise re-run the whole
     # shingle+hash+fold signature from the scan (2x the dominant cost);
     # materialize the slim (id, 8-byte simhash) frame once — at corpus
