@@ -874,6 +874,30 @@ def test_semantic_keep_one_chain_collapse(spark):
 
 # --- corpus ordering: global shuffle + block packing -------------------------
 
+def test_materialize_blocks_rejects_mismatched_count_fn(spark):
+    """A pack_blocks map built with a non-whitespace count_fn (e.g. BPE)
+    used to silently mis-slice every block in materialize_blocks; the
+    count-consistency guard now fails the job with both counts in the
+    message, while a matching map still materializes."""
+    import pytest
+
+    from cfht2caom2_spark.functions.tokens import ws_token_count
+    from cfht2caom2_spark.operators.packing import (materialize_blocks,
+                                                    pack_blocks)
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 5) for i in range(6)], "doc_id bigint, text string")
+    bad_map = pack_blocks(docs, "doc_id", "text", block_tokens=8,
+                          count_fn=lambda c: ws_token_count(c) * 2)
+    with pytest.raises(Exception, match="count_fn"):
+        materialize_blocks(docs, bad_map, "doc_id", "text",
+                           block_tokens=8).collect()
+    good_map = pack_blocks(docs, "doc_id", "text", block_tokens=8)
+    out = materialize_blocks(docs, good_map, "doc_id", "text",
+                             block_tokens=8)
+    assert out.count() == 4    # 30 tokens / 8 per block -> 4 blocks
+
+
 def test_pack_blocks_partitioning_invariant_and_contiguous(spark):
     """The packing map is a pure function of the input: identical under
     different range-partition counts (prefix + local cumsum == global
