@@ -436,6 +436,57 @@ def distinct_char_frac(text: Column) -> Column:
         / n.cast("double"))
 
 
+def char_stats_fast(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, n_chars_text, char_sq_sum, char_simpson, distinct_char_frac)
+    via one vectorized mapInPandas crossing — the batch twin of the
+    char_run_sq_sum / char_simpson / distinct_char_frac Column folds.
+
+    Round-6 motivation is not just speed but DETERMINISM of speed: the
+    expression form's per-codepoint array_sort + struct fold is big enough
+    that HotSpot's decision to compile the generated loop is a per-JVM
+    coin flip — the same query ran 1.5 s or 6.5 s at sf1.0 depending on
+    the JVM, stable within a session (BENCH_r05's own samples:
+    [8.4, 2.4, 2.3]).  A collections.Counter per doc computes the same
+    exact integers (sum of count² over codepoints, distinct codepoints)
+    and the same single double divisions; parity pinned by the DuckDB
+    oracle and test_char_stats_fast_parity.  NULL text yields zeros here
+    (expression form: NULL) — absent from this engine's tables, same note
+    as repetition_ladder_stats_fast."""
+    from collections import Counter
+
+    import pandas as pd
+
+    def stats_batches(batches):
+        def one(t):
+            t = t or ""
+            n = len(t)
+            if n == 0:
+                return (0, 0, 0.0, 0.0)
+            cnt = Counter(t)
+            sq = sum(c * c for c in cnt.values())
+            return (n, sq, float(sq) / float(n * n),
+                    float(len(cnt)) / float(n))
+
+        for pdf in batches:
+            rows = [one(t) for t in pdf[text_col]]
+            res = pd.DataFrame(
+                rows, columns=["n_chars_text", "char_sq_sum",
+                               "char_simpson", "distinct_char_frac"]) \
+                if rows else pd.DataFrame({
+                    "n_chars_text": pd.Series(dtype="int64"),
+                    "char_sq_sum": pd.Series(dtype="int64"),
+                    "char_simpson": pd.Series(dtype="float64"),
+                    "distinct_char_frac": pd.Series(dtype="float64")})
+            res.insert(0, id_col, pdf[id_col].to_numpy())
+            yield res
+
+    return df.select(id_col, text_col).mapInPandas(
+        stats_batches,
+        schema=f"{id_col} bigint, n_chars_text bigint, char_sq_sum bigint, "
+               "char_simpson double, distinct_char_frac double")
+
+
 def toxicity_hits(toks: Column) -> Column:
     return F.size(F.filter(toks, lambda t: F.lower(t).isin(*TOXICITY_WORDS))).cast("bigint")
 

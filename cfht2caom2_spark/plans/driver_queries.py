@@ -2533,18 +2533,14 @@ ORACLES["q_dsir_sample"] = Q_DSIR_SAMPLE_SQL
 
 def q_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution quality stats: Simpson concentration (the
-    algebraic entropy substitute) + distinct-char fraction, per doc.  Pure
-    sorted-array folds — zero shuffle, integer numerators, one final
-    division each (bitwise parity discipline)."""
+    algebraic entropy substitute) + distinct-char fraction, per doc.
+    Round 6: computed by the vectorized batch twin
+    (quality.char_stats_fast) — the expression folds' generated loop was a
+    per-JVM JIT coin flip (1.5 s or 6.5 s at sf1.0); the Counter path is
+    deterministic and exact (integer numerators, one double division each,
+    bitwise parity discipline unchanged)."""
     docs = _t_wide(spark, sf_dir, "documents")
-    text = F.col("text")
-    return docs.select(
-        "doc_id",
-        F.length(text).cast("bigint").alias("n_chars_text"),
-        Q.char_run_sq_sum(text).alias("char_sq_sum"),
-        Q.char_simpson(text).alias("char_simpson"),
-        Q.distinct_char_frac(text).alias("distinct_char_frac"),
-    )
+    return Q.char_stats_fast(docs, id_col="doc_id", text_col="text")
 
 
 # DuckDB explodes per-codepoint via substr/generate_series (string_split on

@@ -1234,6 +1234,32 @@ def test_repetition_ladder_fast_parity(spark):
     assert fast[8]["dup_5gram_char_frac"] > 0.0
 
 
+def test_char_stats_fast_parity(spark):
+    """char_stats_fast equals the char_run_sq_sum/char_simpson/
+    distinct_char_frac expression folds bitwise, including the empty-text
+    zero guards and single-char/run-heavy inputs."""
+    from pyspark.sql import functions as F
+
+    from cfht2caom2_spark.functions import quality as Q
+
+    rows = [(0, "aaaa"), (1, "abcabc"), (2, ""), (3, "a"),
+            (4, "the quick brown fox " * 3), (5, "zz  zz\tzz\nzz")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    text = F.col("text")
+    expr = {r["doc_id"]: r.asDict() for r in docs.select(
+        "doc_id",
+        F.length(text).cast("bigint").alias("n_chars_text"),
+        Q.char_run_sq_sum(text).alias("char_sq_sum"),
+        Q.char_simpson(text).alias("char_simpson"),
+        Q.distinct_char_frac(text).alias("distinct_char_frac"),
+    ).collect()}
+    fast = {r["doc_id"]: r.asDict()
+            for r in Q.char_stats_fast(docs, id_col="doc_id",
+                                       text_col="text").collect()}
+    assert expr == fast
+    assert fast[0]["char_simpson"] == 1.0          # single repeated char
+
+
 def test_kmeans_assignment_plan_is_narrow(spark):
     """assign_cells (expression path) is a pure projection: no Exchange, no
     Python crossing — the invariant that makes per-iteration Lloyd's cost
