@@ -93,6 +93,62 @@ def window_keys(text: Column, k: int) -> Column:
         F.array().cast("array<string>"))
 
 
+def _window_stream(docs: DataFrame, id_col: str, text_col: str, k: int,
+                   ord_expr: Column | None = None) -> DataFrame:
+    """The exploded (id[, _ord], pos, key-string) window stream built in one
+    vectorized Python crossing (round 6, guide §4.2) — byte-identical
+    strings to ``posexplode(window_keys(text, k))``: lower-cased space-only-
+    trimmed ASCII-whitespace tokens, K-token windows single-space-joined,
+    docs with < k tokens (or NULL text) emitting nothing.  The zip-cascade
+    expression built each window through k-1 interpreted array passes and
+    its generated code was large enough to hit the per-JVM JIT lottery;
+    a str.join per window is both faster and deterministic.  Carried
+    columns (id, optional _ord) keep their input types."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (IntegerType, StringType, StructField,
+                                   StructType)
+
+    sel = [F.col(id_col)]
+    if ord_expr is not None:
+        sel.append(ord_expr.alias("_ord"))
+    sel.append(F.col(text_col))
+    src = docs.select(*sel)
+    carry = [f for f in src.schema.fields if f.name != text_col]
+    out_schema = StructType(list(carry)
+                            + [StructField("pos", IntegerType()),
+                               StructField("_k", StringType())])
+    carry_names = [f.name for f in carry]
+
+    def gen(batches):
+        ws = re.compile(r"\s+", re.ASCII)
+        for pdf in batches:
+            counts, keys = [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    counts.append(0)
+                    continue
+                toks = [x for x in ws.split(t.strip(" ").lower()) if x]
+                n = len(toks)
+                if n < k:
+                    counts.append(0)
+                    continue
+                keys.extend(" ".join(toks[i:i + k])
+                            for i in range(n - k + 1))
+                counts.append(n - k + 1)
+            rep = np.repeat(np.arange(len(pdf)), counts)
+            out = pdf.iloc[rep][carry_names].reset_index(drop=True)
+            out["pos"] = np.concatenate(
+                [np.arange(c, dtype="int32") for c in counts]) \
+                if keys else np.array([], dtype="int32")
+            out["_k"] = keys
+            yield out
+
+    return src.mapInPandas(gen, out_schema)
+
+
 def _span_intervals(stream: DataFrame, id_col: str, k: int,
                     min_count: int, exempt_first: bool) -> DataFrame:
     """(id, [_ord,] pos, _k) stream -> (id, _spans array<struct<s,e>>):
@@ -180,12 +236,9 @@ def repeated_spans(docs: DataFrame, id_col: str = "doc_id",
     blocks; measured at sf1.0 this took the registry query from ~20 s to
     ~7 s.  ``checkpoint=False`` is the full-lineage inspection seam for
     plan-shape tests (the pack_blocks pattern)."""
-    keys = window_keys(F.col(text_col), k)
+    stream = _window_stream(docs, id_col, text_col, k)
     if key_fn is not None:
-        keys = F.transform(keys, key_fn)
-
-    stream = docs.select(F.col(id_col),
-                         F.posexplode(keys).alias("pos", "_k"))
+        stream = stream.withColumn("_k", key_fn(F.col("_k")))
     if checkpoint:
         stream = stream.localCheckpoint(eager=False)
     spans = _span_intervals(stream, id_col, k, min_count,
@@ -238,17 +291,15 @@ def remove_repeated_spans(docs: DataFrame, id_col: str = "doc_id",
     tokenize-only.
     """
     ord_expr = F.col(order_col) if order_col else F.col(id_col)
-    keys = window_keys(F.col(text_col), k)
-    if key_fn is not None:
-        keys = F.transform(keys, key_fn)
     # ORIGINAL-case tokens for reconstruction (keys lower-case only for
     # matching; lower() never changes whitespace, so indices line up)
     base = docs.select(F.col(id_col), F.col(text_col),
                        ord_expr.alias("_ord"),
                        _tokens(F.col(text_col), lower=False).alias("_toks"))
 
-    stream = docs.select(F.col(id_col), ord_expr.alias("_ord"),
-                         F.posexplode(keys).alias("pos", "_k"))
+    stream = _window_stream(docs, id_col, text_col, k, ord_expr=ord_expr)
+    if key_fn is not None:
+        stream = stream.withColumn("_k", key_fn(F.col("_k")))
     if checkpoint:
         stream = stream.localCheckpoint(eager=False)
     spans = _span_intervals(stream, id_col, k, min_count, exempt_first=True)
