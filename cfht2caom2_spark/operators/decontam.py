@@ -183,17 +183,24 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame,
     1/num_perms), exact-rational in both engines so the DuckDB twin matches
     bitwise.
     """
-    from .dedup import banded_keys, minhash_signature
+    from .dedup import banded_keys, minhash_sig_frame, minhash_signature
 
     num_perms = bands * rows_per_band
-    sig_d = docs.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text_col), num_perms, k, hash_fn).alias("_sig"),
-    ).localCheckpoint(eager=False)
-    sig_b = bench.select(
-        F.col(id_col).alias("_bid"),
-        minhash_signature(F.col(text_col), num_perms, k, hash_fn).alias("_bsig"),
-    ).localCheckpoint(eager=False)
+    sig_d = minhash_sig_frame(docs, id_col, text_col, num_perms, k, hash_fn)
+    if sig_d is None:   # unsupported custom hash_fn: expression fold
+        sig_d = docs.select(
+            F.col(id_col).alias("_id"),
+            minhash_signature(F.col(text_col), num_perms, k,
+                              hash_fn).alias("_sig"))
+    sig_d = sig_d.localCheckpoint(eager=False)
+    sig_b = minhash_sig_frame(bench, id_col, text_col, num_perms, k,
+                              hash_fn, out_id="_bid", out_sig="_bsig")
+    if sig_b is None:
+        sig_b = bench.select(
+            F.col(id_col).alias("_bid"),
+            minhash_signature(F.col(text_col), num_perms, k,
+                              hash_fn).alias("_bsig"))
+    sig_b = sig_b.localCheckpoint(eager=False)
 
     band_d = banded_keys(sig_d, "_id", bands, rows_per_band)
     band_b = banded_keys(sig_b, "_bid", bands, rows_per_band, sig_col="_bsig")

@@ -116,6 +116,81 @@ def minhash_signature(text: Column, num_perms: int, k: int = 3,
     return F.aggregate(hashes, init, step)
 
 
+def minhash_sig_frame(df: DataFrame, id_col: str, text_col: str,
+                      num_perms: int, k: int = 3, hash_fn=None,
+                      out_id: str = "_id",
+                      out_sig: str = "_sig") -> DataFrame | None:
+    """(id, signature array<bigint>) built in one vectorized Python
+    crossing — the batch twin of ``minhash_signature`` for the two hash
+    families Python reproduces exactly: crc32 (``shingle_hash_fast`` /
+    default — zlib.crc32, same polynomial) and the md5-derived oracle hash
+    (hashlib md5 over UTF-8 == F.md5; first 15 hex chars mod 2^31-1).
+    Returns None for any other hash_fn (callers fall back to the
+    expression fold).  Semantics pinned against the expression path by the
+    DuckDB oracles and the fused-pipeline golden tests: word shingles of
+    lower-cased ASCII-whitespace tokens, < k tokens -> the single
+    whole-text shingle ('' for empty text), NULL text -> NULL signature
+    (which banded_keys turns into the same all-NULL band keys either way).
+    The expression fold is interpreted (higher-order functions don't
+    codegen) at ~2 ms/doc; the numpy broadcast is ~30 us/doc
+    (fused.minhash_sig_py's measurement, same inner loop)."""
+    import hashlib
+    import re
+    from zlib import crc32
+
+    import numpy as np
+    import pandas as pd
+
+    if hash_fn is None or hash_fn is shingle_hash_fast:
+        def base_hash(data: bytes) -> int:
+            return crc32(data)
+    elif hash_fn is shingle_hash:
+        def base_hash(data: bytes) -> int:
+            return int(hashlib.md5(data).hexdigest()[:15], 16)
+    else:
+        return None
+
+    perms = _perm_params(num_perms)
+    A = np.array([a for a, _ in perms], dtype=np.int64)
+    B = np.array([b for _, b in perms], dtype=np.int64)
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    sp = b" "
+
+    def one(text):
+        if text is None:
+            # the expression fold over word_shingles(NULL) folds [NULL]
+            # through least(), which SKIPS nulls — the accumulator keeps
+            # its init, so NULL text signs as [MERSENNE_31] * num_perms
+            # (verified against the fold; NOT a NULL signature)
+            return [MERSENNE_31] * num_perms
+        toks = [t for t in ws.split(text.lower()) if t]
+        if len(toks) >= k:
+            enc = [t.encode("utf-8") for t in toks]
+            n = len(toks) - k + 1
+            h = np.fromiter(
+                (base_hash(sp.join(w))
+                 for w in zip(*[enc[j:] for j in range(k)])),
+                dtype=np.int64, count=n)
+        else:
+            h = np.array([base_hash(" ".join(toks).encode("utf-8"))],
+                         dtype=np.int64)
+        h %= MERSENNE_31
+        return ((h[:, None] * A + B) % MERSENNE_31).min(axis=0).tolist()
+
+    id_type = df.select(id_col).schema.fields[0].dataType.simpleString()
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                out_id: pdf[id_col].to_numpy(),
+                out_sig: pd.Series([one(t) for t in pdf[text_col]],
+                                   dtype=object),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{out_id} {id_type}, {out_sig} array<bigint>")
+
+
 def banded_keys(sig: DataFrame, id_col: str,
                 bands: int, rows_per_band: int,
                 sig_col: str = "_sig") -> DataFrame:
@@ -146,12 +221,15 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     shuffle of the dedup stage.
     """
     num_perms = bands * rows_per_band
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text_col), num_perms, k, hash_fn).alias("_sig"),
-    )
+    sig = minhash_sig_frame(df, id_col, text_col, num_perms, k, hash_fn)
+    if sig is None:   # unsupported custom hash_fn: expression fold
+        sig = df.select(
+            F.col(id_col).alias("_id"),
+            minhash_signature(F.col(text_col), num_perms, k,
+                              hash_fn).alias("_sig"),
+        )
     # both sides of the bucket self-join would re-run the shingle+minhash
-    # fold from the input otherwise — materialize the slim (id, 32-long)
+    # work from the input otherwise — materialize the slim (id, 32-long)
     # signature frame once (same pay-once discipline as simhash_pairs)
     sig = sig.localCheckpoint(eager=False)
     banded = banded_keys(sig, "_id", bands, rows_per_band)
