@@ -116,6 +116,25 @@ def minhash_signature(text: Column, num_perms: int, k: int = 3,
     return F.aggregate(hashes, init, step)
 
 
+def _py_base_hash(hash_fn):
+    """Python twin of a Column-level shingle hash, for the two families
+    Python reproduces exactly: crc32 (zlib, same polynomial as F.crc32 —
+    ``shingle_hash_fast`` and the default) and the md5-derived oracle hash
+    (hashlib md5 over UTF-8 == F.md5; first 15 hex chars as int, which the
+    caller reduces mod 2^31-1 where the Column form does).  Returns None
+    for any other hash_fn — callers fall back to the expression path.
+    NOTE: returns the UNREDUCED base value; apply ``% MERSENNE_31`` to
+    match shingle_hash/shingle_hash_fast."""
+    import hashlib
+    from zlib import crc32
+
+    if hash_fn is None or hash_fn is shingle_hash_fast:
+        return crc32
+    if hash_fn is shingle_hash:
+        return lambda data: int(hashlib.md5(data).hexdigest()[:15], 16)
+    return None
+
+
 def minhash_sig_frame(df: DataFrame, id_col: str, text_col: str,
                       num_perms: int, k: int = 3, hash_fn=None,
                       out_id: str = "_id",
@@ -134,20 +153,13 @@ def minhash_sig_frame(df: DataFrame, id_col: str, text_col: str,
     The expression fold is interpreted (higher-order functions don't
     codegen) at ~2 ms/doc; the numpy broadcast is ~30 us/doc
     (fused.minhash_sig_py's measurement, same inner loop)."""
-    import hashlib
     import re
-    from zlib import crc32
 
     import numpy as np
     import pandas as pd
 
-    if hash_fn is None or hash_fn is shingle_hash_fast:
-        def base_hash(data: bytes) -> int:
-            return crc32(data)
-    elif hash_fn is shingle_hash:
-        def base_hash(data: bytes) -> int:
-            return int(hashlib.md5(data).hexdigest()[:15], 16)
-    else:
+    base_hash = _py_base_hash(hash_fn)
+    if base_hash is None:
         return None
 
     perms = _perm_params(num_perms)
