@@ -214,8 +214,6 @@ def ivf_centroid_topk(corpus: DataFrame, queries: DataFrame,
     broadcast side.  Recall/cost dial = (k_cells, n_probe), the FAISS IVF
     contract, with cells that track data density (unlike sign_bucket).
     """
-    from .similarity import cosine
-
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"),
         nearest_centroid(F.col(vec_col), centroids).alias("_cell"))
@@ -230,18 +228,39 @@ def ivf_centroid_topk(corpus: DataFrame, queries: DataFrame,
         .filter(F.col("_pr") <= n_probe)
         .select("query_id", "_qv", F.col("_i").cast("bigint").alias("_cell"))
     )
-    scored = (
+    # per-candidate scoring + ranking runs vectorized per query group
+    # (round 6, guide §4.2): the expression `cosine` is an interpreted
+    # 3-fold per candidate; here one numpy pass per query computes every
+    # candidate's cosine with the same sequential double fold (np.cumsum
+    # == the aggregate fold bitwise) and np.lexsort reproduces the
+    # row_number ordering (cos desc, vec_id asc).
+    import numpy as np
+    import pandas as pd
+
+    cand = (
         c.join(F.broadcast(q_cells), "_cell")
         .filter(F.col("query_id") != F.col("vec_id"))
-        .withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+        .select("query_id", "vec_id", "_qv", "_cv")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
-                                               F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "rank", "cos")
-    )
+
+    def topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        qv = np.asarray(pdf["_qv"].iloc[0], dtype="float64")
+        M = np.stack([np.asarray(v, dtype="float64") for v in pdf["_cv"]])
+        qn = np.sqrt(np.cumsum(qv * qv)[-1]) if len(qv) else 0.0
+        dots = np.cumsum(M * qv, axis=1)[:, -1]
+        norms = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
+        cos = dots / np.maximum(norms * qn, 1e-12)
+        ids = pdf["vec_id"].to_numpy()
+        order = np.lexsort((ids, -cos))[:k]
+        return pd.DataFrame({
+            "query_id": pdf["query_id"].iloc[0],
+            "vec_id": ids[order],
+            "rank": np.arange(1, len(order) + 1, dtype="int32"),
+            "cos": cos[order],
+        })
+
+    return cand.groupBy("query_id").applyInPandas(
+        topk, schema="query_id bigint, vec_id bigint, rank int, cos double")
 
 
 def cluster_balanced_sample(df: DataFrame, centroids: list[list[float]],
