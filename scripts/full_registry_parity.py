@@ -52,8 +52,9 @@ def main() -> None:
             out[name] = {"parity": False, "problems": [repr(exc)[:500]]}
         print(name, out[name].get("rows", out[name].get("problems")))
     ok = all(v["parity"] is not False for v in out.values())
+    sf_tag = os.path.basename(SF.rstrip("/"))
     path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "CORRECTNESS_r06_local_sf0.01.json")
+        os.path.abspath(__file__))), f"CORRECTNESS_r06_local_{sf_tag}.json")
     with open(path, "w") as fh:
         json.dump({"sf": SF, "all_green": ok, "queries": out}, fh, indent=1)
     print("wrote", path, "all_green:", ok)
