@@ -319,8 +319,8 @@ def main(argv: list[str] | None = None) -> int:
                    "cost": kmeans_cost(emb, cents),
                    "centroids": cents}
         if args.cap:
-            if not args.out:
-                p.error("--cap needs --out")
+            # --cap/--out pairing already validated right after parse_args,
+            # before the Spark session existed
             sample = cluster_balanced_sample(emb, cents, args.cap,
                                              seed=args.seed)
             sample.write.mode("overwrite").parquet(args.out)

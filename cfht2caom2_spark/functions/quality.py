@@ -333,7 +333,8 @@ def repetition_ladder_stats_fast(df: DataFrame, id_col: str = "doc_id",
             res.insert(0, id_col, pdf[id_col].to_numpy())
             yield res
 
-    schema = f"{id_col} bigint, " + ", ".join(
+    id_type = df.select(id_col).schema.fields[0].dataType.simpleString()
+    schema = f"{id_col} {id_type}, " + ", ".join(
         f"{c} double" for c in frac_cols)
     return df.select(id_col, text_col).mapInPandas(ladder_batches,
                                                    schema=schema)
@@ -481,10 +482,12 @@ def char_stats_fast(df: DataFrame, id_col: str = "doc_id",
             res.insert(0, id_col, pdf[id_col].to_numpy())
             yield res
 
+    id_type = df.select(id_col).schema.fields[0].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
         stats_batches,
-        schema=f"{id_col} bigint, n_chars_text bigint, char_sq_sum bigint, "
-               "char_simpson double, distinct_char_frac double")
+        schema=f"{id_col} {id_type}, n_chars_text bigint, "
+               "char_sq_sum bigint, char_simpson double, "
+               "distinct_char_frac double")
 
 
 def toxicity_hits(toks: Column) -> Column:

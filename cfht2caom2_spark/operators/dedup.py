@@ -148,8 +148,10 @@ def minhash_sig_frame(df: DataFrame, id_col: str, text_col: str,
     expression fold).  Semantics pinned against the expression path by the
     DuckDB oracles and the fused-pipeline golden tests: word shingles of
     lower-cased ASCII-whitespace tokens, < k tokens -> the single
-    whole-text shingle ('' for empty text), NULL text -> NULL signature
-    (which banded_keys turns into the same all-NULL band keys either way).
+    whole-text shingle ('' for empty text), NULL text ->
+    [MERSENNE_31]*num_perms (the fold's least() SKIPS the [NULL] hash, so
+    the accumulator keeps its init — verified live; all NULL-text docs
+    therefore share a signature and band together, same as the fold).
     The expression fold is interpreted (higher-order functions don't
     codegen) at ~2 ms/doc; the numpy broadcast is ~30 us/doc
     (fused.minhash_sig_py's measurement, same inner loop)."""
@@ -400,8 +402,12 @@ def _simhash_md5_frame(docs: DataFrame, id_col: str, text_col: str,
     ``simhash(features_fn=word_shingles(k), hash_fn=hash60)``: hashlib md5
     over UTF-8 == F.md5, first 15 hex chars == the 60-bit hash, and the
     per-bit ±1 sums / weighted reassembly are exact integer arithmetic.
-    NULL-text rows are omitted (their expression signature is NULL, which
-    never joins — identical pair output)."""
+    NULL text signs as 0 — the expression fold hashes word_shingles(NULL)
+    = [NULL], whose per-bit contrib hits the otherwise(-1) branch for
+    every bit, so no count goes positive (verified live; NOT a NULL
+    signature — all NULL-text docs are hamming-0 pairs of each other and
+    of any doc whose simhash is within max_hamming of 0, and the fast
+    path reproduces that)."""
     import hashlib
     import re
 
@@ -414,6 +420,8 @@ def _simhash_md5_frame(docs: DataFrame, id_col: str, text_col: str,
         shifts = np.arange(bits, dtype=np.int64)
 
         def one(text):
+            if text is None:
+                return 0
             toks = [t for t in ws.split(text.strip(" ").lower()) if t]
             if len(toks) >= k:
                 shingles = {" ".join(toks[i:i + k])
@@ -428,7 +436,6 @@ def _simhash_md5_frame(docs: DataFrame, id_col: str, text_col: str,
             return int(weights[counts > 0].sum())
 
         for pdf in batches:
-            pdf = pdf[pdf[text_col].notna()]
             yield pd.DataFrame({
                 "_id": pdf[id_col].to_numpy(),
                 "_sh": [one(t) for t in pdf[text_col]],
@@ -436,8 +443,9 @@ def _simhash_md5_frame(docs: DataFrame, id_col: str, text_col: str,
                 {"_id": pd.Series(dtype="int64"),
                  "_sh": pd.Series(dtype="int64")})
 
+    id_type = docs.select(id_col).schema.fields[0].dataType.simpleString()
     return docs.select(id_col, text_col).mapInPandas(
-        sig_batches, schema="_id bigint, _sh bigint")
+        sig_batches, schema=f"_id {id_type}, _sh bigint")
 
 
 def simhash_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -616,15 +624,19 @@ def connected_components(pairs: DataFrame, max_rounds: int = 10,
     nodes absent from ``pairs`` (singletons) are not returned.
 
     Adaptive branch: when the materialized edge count is <=
-    ``small_graph_threshold`` (default 2M edges ≈ 32 MB as one Arrow
-    batch — strictly bounded driver memory, well under the driver heap),
-    a driver-side union-find replaces the iteration: each star round costs
-    ~3 fixed Spark jobs (contract + checkpoint + fused convergence probe),
-    pure scheduling overhead at that size — at sf1.0's 369k-edge minhash
-    graph the iterative path spent ~5 s on ~4 rounds of jobs the
-    union-find does in under a second.  Identical labeling (paths-agree
-    test); the star contraction below remains the scale path and every
-    algorithmic test pins it via ``small_graph_threshold=0``.
+    ``small_graph_threshold`` (default 2M edges), a driver-side union-find
+    replaces the iteration: each star round costs ~3 fixed Spark jobs
+    (contract + checkpoint + fused convergence probe), pure scheduling
+    overhead at that size — at sf1.0's 369k-edge minhash graph the
+    iterative path spent ~5 s on ~4 rounds of jobs the union-find does in
+    under a second.  Driver memory at the default threshold, honestly:
+    the Arrow batch is ~16 B/edge (~32 MB), but the Python parent DICT
+    dominates at ~200 B per distinct endpoint — worst case ~4M nodes ≈
+    0.8 GB transient, sized against this engine's 8g default driver
+    (session.get_spark); on a memory-tight driver pass a smaller
+    threshold.  Identical labeling (paths-agree test); the star
+    contraction below remains the scale path and every algorithmic test
+    pins it via ``small_graph_threshold=0``.
     """
     edges = pairs.select(
         F.greatest("id_a", "id_b").alias("src"),
@@ -643,7 +655,8 @@ def connected_components(pairs: DataFrame, max_rounds: int = 10,
         # each star round costs a fixed ~3 Spark jobs (contract + checkpoint
         # + fused convergence probe) — pure scheduling overhead when the
         # edge set fits one Arrow batch.  A bounded driver-side union-find
-        # (<= threshold * 16 B, default ~32 MB) produces the identical
+        # (~16 B/edge Arrow + ~200 B/node dict; see the docstring's honest
+        # worst case vs the 8g driver) produces the identical
         # (node, min-id component) labeling in one collect.  The iterative
         # path below remains THE scale path; equivalence is pinned by
         # tests/test_operators.py::test_connected_components_paths_agree.

@@ -180,19 +180,29 @@ def assign_cells(df: DataFrame, centroids: list[list[float]],
     cent = np.asarray(centroids, dtype="float64")
     cent_t = np.ascontiguousarray(cent.T)
     c2 = (cent * cent).sum(axis=1)
+    dim = cent.shape[1]
 
     def assign_batches(batches):
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
-            vecs = np.stack([np.asarray(v, dtype="float64")
-                             for v in pdf[vec_col]])
-            d2 = ((vecs * vecs).sum(axis=1)[:, None]
-                  - 2.0 * (vecs @ cent_t) + c2[None, :])
-            yield pd.DataFrame({id_col: ids,
-                                out_col: np.argmin(d2, axis=1)})  # first min
+            cells = pd.array([None] * len(pdf), dtype="Int64")
+            # NULL / wrong-length / NULL-element vectors label NULL, like
+            # the expression path (zip_with padding NULLs the distance)
+            raw = [None if v is None or len(v) != dim
+                   else np.asarray(v, dtype="float64")
+                   for v in pdf[vec_col]]
+            ok = np.array([v is not None and not np.isnan(v).any()
+                           for v in raw])
+            if ok.any():
+                vecs = np.stack([v for v, o in zip(raw, ok) if o])
+                d2 = ((vecs * vecs).sum(axis=1)[:, None]
+                      - 2.0 * (vecs @ cent_t) + c2[None, :])
+                cells[np.flatnonzero(ok)] = np.argmin(d2, axis=1)  # first min
+            yield pd.DataFrame({id_col: ids, out_col: cells})
 
+    id_type = df.select(id_col).schema.fields[0].dataType.simpleString()
     return df.select(id_col, vec_col).mapInPandas(
-        assign_batches, schema=f"{id_col} bigint, {out_col} bigint")
+        assign_batches, schema=f"{id_col} {id_type}, {out_col} bigint")
 
 
 # expression-path literal trees stay fast well past the oracle's toy size;
@@ -209,33 +219,105 @@ def ivf_centroid_topk(corpus: DataFrame, queries: DataFrame,
     nearest cell; each query probes its ``n_probe`` nearest cells and ranks
     candidates by cosine.  Returns (query_id, vec_id, rank, cos).
 
-    The corpus side is narrow (assignment expression); the only join keys
-    on cell id, whose fan-out is bounded by n_probe * |queries| rows on the
-    broadcast side.  Recall/cost dial = (k_cells, n_probe), the FAISS IVF
-    contract, with cells that track data density (unlike sign_bucket).
+    The corpus side keys on cell id only; the join fan-out is bounded by
+    n_probe * |queries| rows on the broadcast side.  Recall/cost dial =
+    (k_cells, n_probe), the FAISS IVF contract, with cells that track
+    data density (unlike sign_bucket).
+
+    Physical shape (round 6): cell assignment on BOTH sides goes through
+    the same small/large k*dim dispatch as ``assign_cells`` (the literal
+    centroid tree costs ~70 s of driver analysis at k=256/dim=512 — the
+    probe-side posexplode over the literal distance array pays it too),
+    and per-candidate scoring runs as one numpy pass per query
+    (np.cumsum == the cosine fold bitwise; lexsort == the
+    row_number(cos desc, vec_id) ordering, candidates with NULL/ragged
+    vectors ranked last by vec_id with NULL cos — the expression
+    NULLS-LAST behavior).  Large-k*dim probe caveat: a query whose OWN
+    vector is NULL/ragged probes nothing there, where the expression
+    path's NULLS-FIRST ascending sort would probe the first n_probe cell
+    ids — degenerate input, documented divergence.
     """
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"),
-        nearest_centroid(F.col(vec_col), centroids).alias("_cell"))
-    dists = F.transform(_centroid_lit(centroids),
-                        lambda cc: sq_dist(F.col(vec_col), cc))
-    q_cells = (
-        queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("_qv"),
-                       F.posexplode(dists).alias("_i", "_d"))
-        .withColumn("_pr", F.row_number().over(
-            Window.partitionBy("query_id").orderBy("_d", "_i")))
-        .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "_qv", F.col("_i").cast("bigint").alias("_cell"))
-    )
-    # per-candidate scoring + ranking runs vectorized per query group
-    # (round 6, guide §4.2): the expression `cosine` is an interpreted
-    # 3-fold per candidate; here one numpy pass per query computes every
-    # candidate's cosine with the same sequential double fold (np.cumsum
-    # == the aggregate fold bitwise) and np.lexsort reproduces the
-    # row_number ordering (cos desc, vec_id asc).
     import numpy as np
     import pandas as pd
+
+    kk = len(centroids)
+    dim = len(centroids[0]) if centroids else 0
+    big = kk * dim >= _VEC_KDIM_THRESHOLD
+    id_type = corpus.select(id_col).schema.fields[0] \
+        .dataType.simpleString()
+    vec_type = corpus.select(vec_col).schema.fields[0] \
+        .dataType.simpleString()
+
+    if not big:
+        c = corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cv"),
+            nearest_centroid(F.col(vec_col), centroids).alias("_cell"))
+        dists = F.transform(_centroid_lit(centroids),
+                            lambda cc: sq_dist(F.col(vec_col), cc))
+        q_cells = (
+            queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("_qv"),
+                           F.posexplode(dists).alias("_i", "_d"))
+            .withColumn("_pr", F.row_number().over(
+                Window.partitionBy("query_id").orderBy("_d", "_i")))
+            .filter(F.col("_pr") <= n_probe)
+            .select("query_id", "_qv",
+                    F.col("_i").cast("bigint").alias("_cell"))
+        )
+    else:
+        cent = np.asarray(centroids, dtype="float64")
+        cent_t = np.ascontiguousarray(cent.T)
+        c2 = (cent * cent).sum(axis=1)
+
+        def corpus_cells(batches):
+            for pdf in batches:
+                raw = [None if v is None or len(v) != dim
+                       else np.asarray(v, dtype="float64")
+                       for v in pdf[vec_col]]
+                ok = np.array([v is not None and not np.isnan(v).any()
+                               for v in raw])
+                cells = pd.array([None] * len(pdf), dtype="Int64")
+                if ok.any():
+                    vecs = np.stack([v for v, o in zip(raw, ok) if o])
+                    d2 = ((vecs * vecs).sum(axis=1)[:, None]
+                          - 2.0 * (vecs @ cent_t) + c2[None, :])
+                    cells[np.flatnonzero(ok)] = np.argmin(d2, axis=1)
+                yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(),
+                                    "_cv": pdf[vec_col],
+                                    "_cell": cells})
+
+        c = corpus.select(id_col, vec_col).mapInPandas(
+            corpus_cells,
+            schema=f"vec_id {id_type}, _cv {vec_type}, _cell bigint")
+
+        def probe_cells(batches):
+            for pdf in batches:
+                rows_id, rows_qv, rows_cell = [], [], []
+                for qid, v in zip(pdf[id_col], pdf[vec_col]):
+                    if v is None or len(v) != dim:
+                        continue
+                    qv = np.asarray(v, dtype="float64")
+                    if np.isnan(qv).any():
+                        continue
+                    d2 = ((qv * qv).sum() - 2.0 * (qv @ cent_t)
+                          + c2)
+                    near = np.lexsort((np.arange(kk), d2))[:n_probe]
+                    for cell in near:
+                        rows_id.append(qid)
+                        rows_qv.append(v)
+                        rows_cell.append(int(cell))
+                yield pd.DataFrame({"query_id": rows_id,
+                                    "_qv": pd.Series(rows_qv,
+                                                     dtype=object),
+                                    "_cell": rows_cell}) \
+                    if rows_id else pd.DataFrame(
+                        {"query_id": pd.Series(dtype=object),
+                         "_qv": pd.Series(dtype=object),
+                         "_cell": pd.Series(dtype="int64")})
+
+        q_cells = queries.select(id_col, vec_col).mapInPandas(
+            probe_cells,
+            schema=f"query_id {id_type}, _qv {vec_type}, _cell bigint")
 
     cand = (
         c.join(F.broadcast(q_cells), "_cell")
@@ -244,23 +326,38 @@ def ivf_centroid_topk(corpus: DataFrame, queries: DataFrame,
     )
 
     def topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        qv = np.asarray(pdf["_qv"].iloc[0], dtype="float64")
-        M = np.stack([np.asarray(v, dtype="float64") for v in pdf["_cv"]])
-        qn = np.sqrt(np.cumsum(qv * qv)[-1]) if len(qv) else 0.0
-        dots = np.cumsum(M * qv, axis=1)[:, -1]
-        norms = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
-        cos = dots / np.maximum(norms * qn, 1e-12)
+        qv_raw = pdf["_qv"].iloc[0]
+        qv = (np.asarray(qv_raw, dtype="float64")
+              if qv_raw is not None else np.array([]))
+        qn = np.sqrt(np.cumsum(qv * qv)[-1]) if len(qv) else None
         ids = pdf["vec_id"].to_numpy()
-        order = np.lexsort((ids, -cos))[:k]
+        raw = [None if (v is None or qn is None or len(v) != len(qv))
+               else np.asarray(v, dtype="float64") for v in pdf["_cv"]]
+        ok = np.array([v is not None for v in raw])
+        cos = np.full(len(ids), np.nan)
+        if ok.any():
+            M = np.stack([v for v, o in zip(raw, ok) if o])
+            dots = np.cumsum(M * qv, axis=1)[:, -1]
+            norms = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
+            cos[np.flatnonzero(ok)] = dots / np.maximum(norms * qn, 1e-12)
+        # NULL-cos candidates (null/ragged vector, null element, null
+        # query vector) rank LAST by vec_id — the window's desc NULLS-LAST
+        nanmask = np.isnan(cos)
+        null_last = np.where(nanmask, 1.0, 0.0)
+        negcos = np.where(nanmask, 0.0, -cos)  # keep NaN out of sort keys
+        order = np.lexsort((ids, negcos, null_last))[:k]
+        out_cos = [None if nanmask[i] else float(cos[i]) for i in order]
         return pd.DataFrame({
             "query_id": pdf["query_id"].iloc[0],
             "vec_id": ids[order],
             "rank": np.arange(1, len(order) + 1, dtype="int32"),
-            "cos": cos[order],
+            "cos": pd.Series(out_cos, dtype=object),
         })
 
     return cand.groupBy("query_id").applyInPandas(
-        topk, schema="query_id bigint, vec_id bigint, rank int, cos double")
+        topk,
+        schema=f"query_id {id_type}, vec_id {id_type}, rank int, "
+               "cos double")
 
 
 def cluster_balanced_sample(df: DataFrame, centroids: list[list[float]],
@@ -287,12 +384,14 @@ def cluster_balanced_sample(df: DataFrame, centroids: list[list[float]],
     a scan, not a single-task top-N."""
     from .sampling import BUCKETS, sample_bucket
 
-    assigned = df.select(
-        F.col(id_col),
-        nearest_centroid(F.col(vec_col), centroids).alias("cell"))
+    # assignment via assign_cells so the production-k*dim vectorized path
+    # dispatches here too (the literal-tree blowup this module documents
+    # would otherwise survive on the sampling path)
+    assigned = assign_cells(df, centroids, id_col=id_col, vec_col=vec_col,
+                            out_col="cell")
     # the slim (id, cell) frame feeds BOTH the cell-count aggregate and the
     # keep-filter join-back; without materialization the k*dim assignment
-    # expression evaluates twice per row (guide §2.4 pay-once discipline)
+    # evaluates twice per row (guide §2.4 pay-once discipline)
     assigned = assigned.localCheckpoint(eager=False)
     counts = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("_n"))

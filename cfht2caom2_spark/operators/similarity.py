@@ -218,8 +218,10 @@ def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                              "id_b": np.concatenate(out_b),
                              "cos": np.concatenate(out_c)})
 
+    id_type = df.select(id_col).schema.fields[0].dataType.simpleString()
     return b.groupBy("_bucket").applyInPandas(
-        score_cell, schema="id_a bigint, id_b bigint, cos double")
+        score_cell,
+        schema=f"id_a {id_type}, id_b {id_type}, cos double")
 
 
 def embedding_neardup_losers(df: DataFrame, id_col: str = "vec_id",

@@ -1234,6 +1234,77 @@ def test_repetition_ladder_fast_parity(spark):
     assert fast[8]["dup_5gram_char_frac"] > 0.0
 
 
+def test_simhash_pairs_null_text_parity(spark):
+    """NULL-text docs sign as simhash 0 (the fold's otherwise(-1) branch
+    fires for every bit), so they are hamming-0 pairs of each other — the
+    md5 fast frame must reproduce that, not drop the rows (round-6 review
+    catch).  Wrapping hash60 in a lambda forces the expression path for
+    the cross-check."""
+    from cfht2caom2_spark.operators.dedup import hash60, simhash_pairs
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "regular text that is unlike others "
+                                   "entirely and long enough")],
+        "doc_id bigint, text string")
+    fast = {(r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_pairs(docs, bits=60, n_bands=4,
+                                   max_hamming=3).collect()}
+    expr = {(r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_pairs(docs, bits=60, n_bands=4, max_hamming=3,
+                                   hash_fn=lambda c: hash60(c)).collect()}
+    assert fast == expr
+    assert (1, 2, 0) in fast
+
+
+def test_assign_cells_vectorized_null_ragged_and_string_ids(spark):
+    """The vectorized assignment must label NULL / wrong-length /
+    NULL-element vectors NULL like the expression path, and carry a
+    non-bigint id type through its output schema (round-6 review catch:
+    the schema used to hardcode bigint)."""
+    from cfht2caom2_spark.operators.kmeans import assign_cells
+
+    cents = [[0.0, 1.0], [1.0, 0.0]]
+    rows = [("a", [0.1, 0.9]), ("b", None), ("c", [1.0, 0.0, 0.0]),
+            ("d", [None, 1.0]), ("e", [0.9, 0.2])]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    expr = {r["vec_id"]: r["cell"]
+            for r in assign_cells(df, cents, vectorized=False).collect()}
+    vec = {r["vec_id"]: r["cell"]
+           for r in assign_cells(df, cents, vectorized=True).collect()}
+    assert expr == vec
+    assert expr["b"] is None and expr["c"] is None and expr["d"] is None
+    assert expr["a"] == 0 and expr["e"] == 1
+
+
+def test_ivf_centroid_topk_big_kdim_path_matches_small(spark):
+    """At k*dim >= the dispatch threshold ivf_centroid_topk switches both
+    sides to the vectorized path; on clean data the output must equal the
+    expression path bitwise (cumsum == the fold; lexsort == the window
+    ordering on both the probe and the rank)."""
+    import random
+
+    from cfht2caom2_spark.operators import kmeans as KM
+
+    rng = random.Random(3)
+    dim, n = 16, 120
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    queries = df.filter("vec_id < 3")
+    cents = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(8)]
+    small = {(r["query_id"], r["vec_id"], r["rank"], r["cos"])
+             for r in KM.ivf_centroid_topk(df, queries, cents,
+                                           k=5, n_probe=2).collect()}
+    orig = KM._VEC_KDIM_THRESHOLD
+    KM._VEC_KDIM_THRESHOLD = 8 * dim          # force the big path
+    try:
+        big = {(r["query_id"], r["vec_id"], r["rank"], r["cos"])
+               for r in KM.ivf_centroid_topk(df, queries, cents,
+                                             k=5, n_probe=2).collect()}
+    finally:
+        KM._VEC_KDIM_THRESHOLD = orig
+    assert small == big and len(small) > 0
+
+
 def test_char_stats_fast_parity(spark):
     """char_stats_fast equals the char_run_sq_sum/char_simpson/
     distinct_char_frac expression folds bitwise, including the empty-text
